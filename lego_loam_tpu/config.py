@@ -1,0 +1,205 @@
+"""Configuration for the TPU-native LeGO-LOAM engine.
+
+The reference keeps all knobs as compile-time ``extern const`` globals
+(reference: LeGO-LOAM/include/utility.h:53-136) and requires recompilation to
+change sensors.  Here everything is a frozen dataclass: hashable (so it can be
+a static jit argument), runtime-switchable, with the same parameter names and
+semantics where they carry over.
+
+Sensor presets mirror the commented blocks in utility.h:62-102 (VLP-16,
+HDL-32E, VLS-128, OS1-16, OS1-64) plus an HDL-64E preset for KITTI that the
+reference README leaves "to the user" (reference: README.md:86).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class SensorSpec:
+    """Lidar geometry (reference: utility.h:62-102)."""
+
+    name: str
+    n_scan: int                 # number of rings (rows of the range image)
+    horizon_scan: int           # azimuth bins (columns of the range image)
+    ang_res_x: float            # azimuth resolution, degrees
+    ang_res_y: float            # elevation resolution, degrees
+    ang_bottom: float           # |elevation| of the lowest ring, degrees
+    ground_scan_ind: int        # rows 0..ground_scan_ind-1 may contain ground
+    use_ring: bool = True       # row from the ring channel vs elevation math
+    scan_period: float = 0.1    # seconds per sweep (utility.h:107)
+    min_range: float = 1.0      # sensorMinimumRange (utility.h:111)
+    max_range: float = 120.0    # drop returns beyond this (numerical hygiene)
+    mount_angle: float = 0.0    # sensorMountAngle, degrees (utility.h:112)
+
+
+VLP16 = SensorSpec(
+    name="vlp16", n_scan=16, horizon_scan=1800,
+    ang_res_x=0.2, ang_res_y=2.0, ang_bottom=15.1, ground_scan_ind=7,
+)
+
+HDL32E = SensorSpec(
+    name="hdl32e", n_scan=32, horizon_scan=1800,
+    ang_res_x=360.0 / 1800, ang_res_y=41.33 / 31, ang_bottom=30.67,
+    ground_scan_ind=20,
+)
+
+VLS128 = SensorSpec(
+    name="vls128", n_scan=128, horizon_scan=1800,
+    ang_res_x=0.2, ang_res_y=0.3, ang_bottom=25.0, ground_scan_ind=10,
+)
+
+OS1_16 = SensorSpec(
+    name="os1_16", n_scan=16, horizon_scan=1024,
+    ang_res_x=360.0 / 1024, ang_res_y=33.2 / 15, ang_bottom=16.7,
+    ground_scan_ind=7,
+)
+
+OS1_64 = SensorSpec(
+    name="os1_64", n_scan=64, horizon_scan=1024,
+    ang_res_x=360.0 / 1024, ang_res_y=33.2 / 63, ang_bottom=16.7,
+    ground_scan_ind=15,
+)
+
+# KITTI's HDL-64E: 64 beams, +2 .. -24.8 deg vertical FOV, 10 Hz.  The raw
+# .bin scans carry no ring channel, so rows come from elevation math.
+HDL64E = SensorSpec(
+    name="hdl64e", n_scan=64, horizon_scan=1800,
+    ang_res_x=0.2, ang_res_y=26.8 / 63, ang_bottom=24.9, ground_scan_ind=50,
+    use_ring=False,
+)
+
+SENSOR_PRESETS = {
+    s.name: s for s in (VLP16, HDL32E, VLS128, OS1_16, OS1_64, HDL64E)
+}
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Algorithm knobs + fixed array capacities for the jitted programs.
+
+    Knob defaults match the reference (utility.h:104-136); capacities are new
+    (the TPU build uses fixed-shape padded arrays instead of std::vector).
+    """
+
+    sensor: SensorSpec = VLP16
+
+    # --- segmentation (utility.h:113-117, imageProjection.cpp:370-460) ---
+    segment_theta_deg: float = 60.0          # edge predicate threshold
+    segment_valid_point_num: int = 5
+    segment_valid_line_num: int = 3
+    segment_big_cluster: int = 30            # >=30 px is always a valid cluster
+    ground_angle_thresh_deg: float = 10.0    # imageProjection.cpp:286
+    label_prop_max_sweeps: int = 64          # CCL sweep budget (new; see ops/segmentation.py)
+
+    # --- features (utility.h:120-125, featureAssociation.cpp:621-784) ---
+    edge_threshold: float = 0.1
+    surf_threshold: float = 0.1
+    sections_total: int = 6
+    edge_feature_num: int = 2                # sharp corners per sector
+    edge_feature_num_less: int = 20          # less-sharp corners per sector
+    surf_feature_num: int = 4                # flat surf points per sector
+    occlusion_depth_gap: float = 0.3         # featureAssociation.cpp:655
+    occlusion_col_diff: int = 10
+    parallel_beam_frac: float = 0.02         # featureAssociation.cpp:675
+    nearest_feature_search_sq_dist: float = 25.0
+
+    # --- odometry (featureAssociation.cpp:1666-1695) ---
+    odom_outer_iters: int = 5                # correspondence refresh rounds
+    odom_inner_iters: int = 5                # GN steps per refresh (5*5 = 25)
+    odom_step_scale: float = 0.05            # reference's B = -0.05*d damping
+    odom_huber_from_iter: int = 5            # robust weights kick in here
+    odom_degen_eig_thresh: float = 10.0      # featureAssociation.cpp:1338
+    odom_delta_rot_deg: float = 0.1          # convergence thresholds
+    odom_delta_trans_cm: float = 0.1
+    odom_min_constraints: int = 10
+    odom_min_last_corner: int = 10
+    odom_min_last_surf: int = 100
+
+    # --- mapping (utility.h:128-136, mapOptmization.cpp:1229-1350) ---
+    map_iters: int = 10
+    map_degen_eig_thresh: float = 100.0
+    map_delta_rot_deg: float = 0.05
+    map_delta_trans_cm: float = 0.05
+    map_min_constraints: int = 50
+    map_nn_radius_sq: float = 1.0            # 5th-NN gate (mapOptmization.cpp:1101)
+    map_line_eig_ratio: float = 3.0          # line-ness test
+    map_plane_max_resid: float = 0.2
+    mapping_process_every: int = 3           # solve every k-th scan (0.3 s at 10 Hz)
+    keyframe_min_translation: float = 0.3    # mapOptmization.cpp:1360-1363
+    surrounding_keyframe_search_radius: float = 50.0
+    surrounding_keyframe_search_num: int = 50
+    imu_attitude_blend: float = 0.002        # mapOptmization.cpp:488-489
+
+    # --- loop closure (utility.h:132-134, mapOptmization.cpp:814-945) ---
+    loop_closure_enabled: bool = False
+    history_keyframe_search_radius: float = 7.0
+    history_keyframe_search_num: int = 25
+    history_keyframe_fitness_score: float = 0.3
+    loop_min_time_gap: float = 30.0
+    loop_icp_iters: int = 30
+    loop_icp_max_corr_dist: float = 100.0
+
+    # --- voxel leaf sizes (featureAssociation.cpp:225, mapOptmization.cpp:249-257) ---
+    leaf_less_flat: float = 0.2
+    leaf_map_corner: float = 0.2
+    leaf_map_surf: float = 0.4
+    leaf_scan_corner: float = 0.2
+    leaf_scan_surf: float = 0.4
+    leaf_outlier: float = 0.4
+    leaf_history: float = 0.4
+
+    # --- fixed capacities (new: padded-array shapes for jit) ---
+    max_sharp: int = 256                     # 2*6*n_scan rounded up
+    max_less_sharp: int = 2048               # 20*6*n_scan
+    max_flat: int = 512                      # 4*6*n_scan
+    max_less_flat: int = 4096                # voxel-downsampled per-ring rest
+    max_outlier: int = 2048
+    max_scan_corner_ds: int = 1024           # downsampled current scan (corner)
+    max_scan_surf_ds: int = 4096             # downsampled current scan (surf+outlier)
+    max_map_corner: int = 8192               # assembled local corner map
+    max_map_surf: int = 32768                # assembled local surf map
+    max_keyframes: int = 4096
+    kf_corner_cap: int = 512                 # per-keyframe padded block sizes
+    kf_surf_cap: int = 2048
+    kf_outlier_cap: int = 1024
+    max_loop_edges: int = 128
+    nn_query_tile: int = 256                 # query tile for chunked 5-NN
+
+    # --- pose graph (replaces gtsam; models/posegraph.py) ---
+    pg_gn_iters: int = 8
+    pg_cg_iters: int = 48
+    pg_rot_sigma: float = 1e-3               # odometry edge noise (rot, rad)
+    pg_trans_sigma: float = 1e-4             # odometry edge noise (trans, m)
+    pg_prior_sigma: float = 1e-4
+
+    @property
+    def segment_theta(self) -> float:
+        return math.radians(self.segment_theta_deg)
+
+    @property
+    def segment_alpha_x(self) -> float:
+        return math.radians(self.sensor.ang_res_x)
+
+    @property
+    def segment_alpha_y(self) -> float:
+        return math.radians(self.sensor.ang_res_y)
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = PipelineConfig()
+
+
+def config_for(sensor: str | SensorSpec, **kw) -> PipelineConfig:
+    """Build a config for a sensor preset, with keyword overrides."""
+    spec = SENSOR_PRESETS[sensor] if isinstance(sensor, str) else sensor
+    return PipelineConfig(sensor=spec, **kw)
