@@ -1,0 +1,92 @@
+"""Segmented-cloud assembly: grid -> per-ring compacted arrays.
+
+Equivalent of the reference's row-major emission loop
+(reference: imageProjection.cpp:312-368), with its global 1-D cloud +
+startRingIndex/endRingIndex bookkeeping replaced by per-ring prefix
+compaction: kept pixels of ring r occupy [0, count[r]) of fixed-width arrays,
+in column order.  Selection rules match the reference:
+
+  * cluster points are always kept;
+  * ground points are kept only at every 5th column (plus the first/last few
+    columns of the ring);
+  * invalid-cluster pixels above the ground rows are sampled at every 5th
+    column into the outlier cloud.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from lego_loam_tpu.config import PipelineConfig
+from lego_loam_tpu.ops.ground import mark_ground
+from lego_loam_tpu.ops.projection import pixel_rel_time
+from lego_loam_tpu.ops.segmentation import Segmentation, label_components
+from lego_loam_tpu.types import RangeImage, SegmentedScan
+
+
+def compact_segments(
+    img: RangeImage,
+    ground: jnp.ndarray,
+    seg: Segmentation,
+    cfg: PipelineConfig,
+) -> SegmentedScan:
+    R, H = img.rng.shape
+    cols = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32), (R, H))
+
+    ground_sampled = ground & (
+        (cols % 5 == 0) | (cols <= 5) | (cols >= H - 5)
+    )
+    keep = seg.cluster_good | ground_sampled
+
+    # Per-ring stable pack by column order: kept pixels first.
+    sort_key = jnp.where(keep, cols, H + cols)
+    order = jnp.argsort(sort_key, axis=1)
+
+    def take(a):
+        return jnp.take_along_axis(a, order, axis=1)
+
+    count = jnp.sum(keep, axis=1).astype(jnp.int32)
+    idx = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32), (R, H))
+    valid = idx < count[:, None]
+
+    rel = pixel_rel_time(img)
+
+    packed = SegmentedScan(
+        xyz=jnp.take_along_axis(img.xyz, order[..., None], axis=1),
+        rng=take(img.rng),
+        col=take(cols),
+        row_frac=take(rel),
+        ground=take(ground),
+        valid=valid,
+        count=count,
+        outlier_xyz=jnp.zeros((cfg.max_outlier, 3), jnp.float32),
+        outlier_valid=jnp.zeros((cfg.max_outlier,), bool),
+    )
+
+    # Outlier cloud: sampled invalid-cluster pixels above the ground rows
+    # (imageProjection.cpp:328-334).
+    rows = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, H))
+    out_mask = seg.outlier & (rows > cfg.sensor.ground_scan_ind) & (cols % 5 == 0)
+    flat_mask = out_mask.reshape(-1)
+    lin = jnp.arange(R * H, dtype=jnp.int32)
+    okey = jnp.where(flat_mask, lin, R * H)
+    oorder = jnp.argsort(okey)[: cfg.max_outlier]
+    o_valid = jnp.take(flat_mask, oorder)
+    o_xyz = jnp.take(img.xyz.reshape(-1, 3), oorder, axis=0)
+    o_rel = jnp.take(rel.reshape(-1), oorder)
+
+    return packed._replace(
+        outlier_xyz=jnp.where(o_valid[:, None], o_xyz, 0.0),
+        outlier_valid=o_valid,
+    ), o_rel
+
+
+def segment_scan(img: RangeImage, cfg: PipelineConfig):
+    """Full front-end stage 1: ground + clustering + compaction.
+
+    Returns (SegmentedScan, outlier_rel_time, ground_mask, Segmentation).
+    """
+    ground = mark_ground(img, cfg)
+    seg = label_components(img, ground, cfg)
+    packed, o_rel = compact_segments(img, ground, seg, cfg)
+    return packed, o_rel, ground, seg

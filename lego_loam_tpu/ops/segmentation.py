@@ -1,0 +1,171 @@
+"""Cluster segmentation of the range image.
+
+The reference does a sequential BFS flood fill per seed with a hand-rolled
+queue (reference: imageProjection.cpp:370-460).  That is inherently serial;
+here the same connected components are computed data-parallel:
+
+  1. build boolean edge grids from the beta-angle predicate
+     angle = atan2(d2*sin(a), d1 - d2*cos(a)) > segment_theta
+     (d1 >= d2 the two ranges, `a` the angular resolution in that direction);
+  2. initialize every segmentable pixel's label with its linear index;
+  3. iterate min-label propagation until fixpoint, where each sweep does a
+     *segmented min-scan* along rows and columns (log-depth associative scans
+     over connected runs) plus a 4-neighbor min with horizontal wraparound —
+     so labels cross an entire straight run in one sweep instead of one pixel
+     per step as naive propagation would;
+  4. reduce per-component size and ring span, apply the reference's validity
+     rules (>=30 px, or >=segment_valid_point_num px spanning
+     >=segment_valid_line_num rings; imageProjection.cpp:440-451).
+
+A 4-connected component occupies a contiguous row interval, so the ring span
+(max_row - min_row + 1) equals the reference's distinct-ring count.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lego_loam_tpu.config import PipelineConfig
+from lego_loam_tpu.types import RangeImage
+
+
+class Segmentation(NamedTuple):
+    labels: jnp.ndarray       # (R, H) int32 component root id; -1 if not segmentable
+    cluster_good: jnp.ndarray  # (R, H) bool: member of a valid cluster
+    outlier: jnp.ndarray       # (R, H) bool: member of an invalid cluster
+
+
+def _edge_predicate(r1, r2, alpha, theta):
+    d1 = jnp.maximum(r1, r2)
+    d2 = jnp.minimum(r1, r2)
+    angle = jnp.arctan2(d2 * jnp.sin(alpha), d1 - d2 * jnp.cos(alpha))
+    return angle > theta
+
+
+def _segmented_min_scan(labels, conn_prev, axis, reverse):
+    """Min-scan of `labels` within runs delimited by `conn_prev`.
+
+    conn_prev[i] == True means element i is connected to element i-1 along
+    `axis` (in scan direction).  Returns per-element min over the maximal
+    connected run prefix (suffix if reverse).
+    """
+
+    def combine(a, b):
+        am, ae = a
+        bm, be = b
+        return jnp.where(be, jnp.minimum(am, bm), bm), ae & be
+
+    m, _ = jax.lax.associative_scan(
+        combine, (labels, conn_prev), axis=axis, reverse=reverse
+    )
+    return m
+
+
+def build_edges(img: RangeImage, ground: jnp.ndarray, cfg: PipelineConfig):
+    """Connectivity graph of the range image.
+
+    Returns (seg, edge_h, edge_v): seg marks pixels that participate in
+    clustering; edge_h[r, c] connects (r,c)-(r,c+1 mod H) (circular);
+    edge_v[r, c] connects (r,c)-(r+1,c) (last row all False).
+    """
+    R, H = img.rng.shape
+    seg = img.valid & ~ground
+
+    theta = cfg.segment_theta
+    ax, ay = cfg.segment_alpha_x, cfg.segment_alpha_y
+
+    rng_r = jnp.roll(img.rng, -1, axis=1)
+    edge_h = (
+        _edge_predicate(img.rng, rng_r, ax, theta)
+        & seg & jnp.roll(seg, -1, axis=1)
+    )
+    edge_v = (
+        _edge_predicate(img.rng[:-1], img.rng[1:], ay, theta)
+        & seg[:-1] & seg[1:]
+    )
+    edge_v = jnp.concatenate([edge_v, jnp.zeros((1, H), bool)], axis=0)
+    return seg, edge_h, edge_v
+
+
+def label_components(
+    img: RangeImage,
+    ground: jnp.ndarray,
+    cfg: PipelineConfig,
+    edges=None,
+) -> Segmentation:
+    R, H = img.rng.shape
+    seg, edge_h, edge_v = edges if edges is not None else build_edges(img, ground, cfg)
+
+    big = jnp.int32(R * H)
+    lin = jnp.arange(R * H, dtype=jnp.int32).reshape(R, H)
+    labels0 = jnp.where(seg, lin, big)
+
+    # Per-direction "connected to predecessor" masks for the scans.
+    conn_left = jnp.roll(edge_h, 1, axis=1)       # (r,c) connected to (r,c-1)
+    conn_left_lin = conn_left.at[:, 0].set(False)  # linear scan: no wrap inside scan
+    conn_right_lin = edge_h.at[:, -1].set(False)
+    conn_up = jnp.concatenate([jnp.zeros((1, H), bool), edge_v[:-1]], axis=0)
+    conn_down = edge_v
+
+    def sweep(labels):
+        # 4-neighbor min (includes the column wraparound via roll).
+        n = jnp.minimum(
+            jnp.where(conn_left, jnp.roll(labels, 1, axis=1), big),
+            jnp.where(edge_h, jnp.roll(labels, -1, axis=1), big),
+        )
+        n = jnp.minimum(
+            n,
+            jnp.where(conn_up, jnp.roll(labels, 1, axis=0), big),
+        )
+        n = jnp.minimum(
+            n,
+            jnp.where(conn_down, jnp.roll(labels, -1, axis=0), big),
+        )
+        labels = jnp.minimum(labels, n)
+        # Row runs (log-depth), then column runs.
+        labels = jnp.minimum(
+            _segmented_min_scan(labels, conn_left_lin, axis=1, reverse=False),
+            _segmented_min_scan(labels, conn_right_lin, axis=1, reverse=True),
+        )
+        labels = jnp.minimum(
+            _segmented_min_scan(labels, conn_up, axis=0, reverse=False),
+            _segmented_min_scan(labels, conn_down, axis=0, reverse=True),
+        )
+        return labels
+
+    def cond(state):
+        labels, prev_changed, it = state
+        return prev_changed & (it < cfg.label_prop_max_sweeps)
+
+    def body(state):
+        labels, _, it = state
+        new = sweep(labels)
+        return new, jnp.any(new != labels), it + 1
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (labels0, jnp.bool_(True), jnp.int32(0))
+    )
+
+    # Component statistics via scatter reductions (invalid pixels hit slot R*H).
+    flat = jnp.where(seg, labels, big).reshape(-1)
+    ones = seg.reshape(-1).astype(jnp.int32)
+    counts = jnp.zeros((R * H + 1,), jnp.int32).at[flat].add(ones)
+    rows = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, H)).reshape(-1)
+    min_row = jnp.full((R * H + 1,), R, jnp.int32).at[flat].min(jnp.where(ones == 1, rows, R))
+    max_row = jnp.full((R * H + 1,), -1, jnp.int32).at[flat].max(jnp.where(ones == 1, rows, -1))
+    span = max_row - min_row + 1
+    good = (counts >= cfg.segment_big_cluster) | (
+        (counts >= cfg.segment_valid_point_num)
+        & (span >= cfg.segment_valid_line_num)
+    )
+
+    cluster_good = seg & good[flat].reshape(R, H)
+    outlier = seg & ~cluster_good
+    return Segmentation(
+        labels=jnp.where(seg, labels, -1),
+        cluster_good=cluster_good,
+        outlier=outlier,
+    )
