@@ -1,0 +1,240 @@
+"""Curvature-based edge/planar feature extraction.
+
+Equivalent of the reference's calculateSmoothness / markOccludedPoints /
+extractFeatures (reference: featureAssociation.cpp:621-784), re-laid-out for
+the per-ring compacted arrays: all rings are processed in parallel, the six
+azimuthal sectors and the ranked picks within a sector remain sequential
+(they are sequential in the algorithm: every pick suppresses neighbors that
+later picks must see).
+
+Differences by design:
+  * ring-local indexing: the reference's global 1-D cloud lets the +-5
+    curvature window and neighbor suppression leak a few points across ring
+    boundaries; here both are ring-local.
+  * the reference sorts each sector then walks it; an iterated masked
+    argmax/argmin picks the same points in the same order without the sort.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from lego_loam_tpu.config import PipelineConfig
+from lego_loam_tpu.ops.voxel import voxel_downsample
+from lego_loam_tpu.types import FeatureCloud, ScanFeatures, SegmentedScan
+
+_NEG_INF = -1.0e30
+
+
+def compute_curvature(packed: SegmentedScan, cfg: PipelineConfig):
+    """11-tap range stencil; curvature = (sum of 10 neighbors - 10*r)^2.
+
+    Returns (curv (R, W), curv_valid (R, W)).
+    """
+    rng = packed.rng * packed.valid
+    acc = -10.0 * rng
+    for off in range(1, 6):
+        acc = acc + jnp.roll(rng, off, axis=1) + jnp.roll(rng, -off, axis=1)
+    curv = acc * acc
+    W = rng.shape[1]
+    idx = jnp.arange(W, dtype=jnp.int32)[None, :]
+    curv_valid = (idx >= 5) & (idx <= packed.count[:, None] - 6)
+    return curv, curv_valid
+
+
+def occlusion_mask(packed: SegmentedScan, cfg: PipelineConfig) -> jnp.ndarray:
+    """Initial neighbor-picked mask from occlusion / parallel-beam tests
+    (featureAssociation.cpp:643-678)."""
+    R, W = packed.rng.shape
+    rng = packed.rng
+    col = packed.col
+    idx = jnp.arange(W, dtype=jnp.int32)[None, :]
+    in_range = (idx >= 5) & (idx <= packed.count[:, None] - 7)
+
+    nxt = jnp.roll(rng, -1, axis=1)
+    col_nxt = jnp.roll(col, -1, axis=1)
+    col_diff_ok = jnp.abs(col_nxt - col) < cfg.occlusion_col_diff
+
+    occl_this = in_range & col_diff_ok & (rng - nxt > cfg.occlusion_depth_gap)
+    occl_next = in_range & col_diff_ok & (nxt - rng > cfg.occlusion_depth_gap)
+
+    picked = jnp.zeros((R, W), bool)
+    # occl_this at i marks i-5..i ; occl_next at i marks i+1..i+6
+    for off in range(0, 6):
+        picked = picked | jnp.roll(occl_this, -off, axis=1)
+    for off in range(1, 7):
+        picked = picked | jnp.roll(occl_next, off, axis=1)
+
+    prv = jnp.roll(rng, 1, axis=1)
+    diff1 = jnp.abs(prv - rng)
+    diff2 = jnp.abs(nxt - rng)
+    parallel = (
+        in_range
+        & (diff1 > cfg.parallel_beam_frac * rng)
+        & (diff2 > cfg.parallel_beam_frac * rng)
+    )
+    return picked | parallel
+
+
+def _sector_bounds(count: jnp.ndarray, j: jnp.ndarray, cfg: PipelineConfig):
+    """Per-ring [sp, ep] of azimuthal sector j (featureAssociation.cpp:693-694)."""
+    start = jnp.full_like(count, 4)
+    end = count - 6
+    sp = (start * (6 - j) + end * j) // 6
+    ep = (start * (5 - j) + end * (j + 1)) // 6 - 1
+    ok = (sp < ep) & (count >= 12)
+    return sp, ep, ok
+
+
+def _suppress(picked, rows, idx, col, count, enable):
+    """Mark idx and its +-5 neighbors picked, stopping at column gaps > 10
+    (featureAssociation.cpp:721-732).  idx: (R,), enable: (R,)."""
+    W = picked.shape[1]
+
+    def colat(i):
+        return jnp.take_along_axis(col, jnp.clip(i, 0, W - 1)[:, None], axis=1)[:, 0]
+
+    picked = picked.at[rows, idx].max(enable)
+    ok = enable
+    for l in range(1, 6):
+        ok = ok & (idx + l <= count - 1) & (
+            jnp.abs(colat(idx + l) - colat(idx + l - 1)) <= 10
+        )
+        picked = picked.at[rows, jnp.clip(idx + l, 0, W - 1)].max(ok)
+    ok = enable
+    for l in range(1, 6):
+        ok = ok & (idx - l >= 0) & (
+            jnp.abs(colat(idx - l) - colat(idx - l + 1)) <= 10
+        )
+        picked = picked.at[rows, jnp.clip(idx - l, 0, W - 1)].max(ok)
+    return picked
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def label_features(packed: SegmentedScan, cfg: PipelineConfig):
+    """Run the sector pick loops; returns the label grid (2 sharp, 1
+    less-sharp, -1 flat, 0 none) and the final picked mask."""
+    R, W = packed.rng.shape
+    rows = jnp.arange(R, dtype=jnp.int32)
+    idxs = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+    curv, curv_valid = compute_curvature(packed, cfg)
+    picked0 = occlusion_mask(packed, cfg)
+
+    base = packed.valid & curv_valid
+    corner_base = base & (curv > cfg.edge_threshold) & ~packed.ground
+    surf_base = base & (curv < cfg.surf_threshold) & packed.ground
+
+    def sector_body(j, state):
+        labels, picked = state
+        sp, ep, sec_ok = _sector_bounds(packed.count, j, cfg)
+        in_sec = (idxs >= sp[:, None]) & (idxs <= ep[:, None]) & sec_ok[:, None]
+
+        def corner_pick(k, st):
+            labels, picked = st
+            elig = corner_base & in_sec & ~picked
+            score = jnp.where(elig, curv, _NEG_INF)
+            idx = jnp.argmax(score, axis=1).astype(jnp.int32)
+            has = jnp.any(elig, axis=1)
+            lab = jnp.where(k < cfg.edge_feature_num, 2, 1)
+            cur = labels[rows, idx]
+            labels = labels.at[rows, idx].set(jnp.where(has, lab, cur))
+            picked = _suppress(picked, rows, idx, packed.col, packed.count, has)
+            return labels, picked
+
+        labels, picked = jax.lax.fori_loop(
+            0, cfg.edge_feature_num_less, corner_pick, (labels, picked)
+        )
+
+        def surf_pick(k, st):
+            labels, picked = st
+            elig = surf_base & in_sec & ~picked
+            score = jnp.where(elig, -curv, _NEG_INF)
+            idx = jnp.argmax(score, axis=1).astype(jnp.int32)
+            has = jnp.any(elig, axis=1)
+            cur = labels[rows, idx]
+            labels = labels.at[rows, idx].set(jnp.where(has, -1, cur))
+            # the reference breaks before suppressing its 4th flat pick
+            suppress = has & (k < cfg.surf_feature_num - 1)
+            picked = _suppress(picked, rows, idx, packed.col, packed.count, suppress)
+            return labels, picked
+
+        labels, picked = jax.lax.fori_loop(
+            0, cfg.surf_feature_num, surf_pick, (labels, picked)
+        )
+        return labels, picked
+
+    labels0 = jnp.zeros((R, W), jnp.int32)
+    labels, picked = jax.lax.fori_loop(
+        0, cfg.sections_total, sector_body, (labels0, picked0)
+    )
+    return labels, picked
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract_features(
+    packed: SegmentedScan, outlier_s: jnp.ndarray, cfg: PipelineConfig
+) -> ScanFeatures:
+    R, W = packed.rng.shape
+    rows = jnp.arange(R, dtype=jnp.int32)
+    idxs = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+    labels, picked = label_features(packed, cfg)
+
+    ring_grid = jnp.broadcast_to(rows[:, None], (R, W))
+
+    def compact(mask, cap):
+        lin = jnp.arange(R * W, dtype=jnp.int32)
+        key = jnp.where(mask.reshape(-1), lin, R * W)
+        order = jnp.argsort(key)[:cap]
+        ok = jnp.take(key, order) < R * W
+        return FeatureCloud(
+            xyz=jnp.where(ok[:, None], packed.xyz.reshape(-1, 3)[order], 0.0),
+            ring=jnp.where(ok, ring_grid.reshape(-1)[order], 0),
+            s=jnp.where(ok, packed.row_frac.reshape(-1)[order], 0.0),
+            valid=ok,
+        )
+
+    sharp = compact(labels == 2, cfg.max_sharp)
+    less_sharp = compact(labels >= 1, cfg.max_less_sharp)
+    flat = compact(labels == -1, cfg.max_flat)
+
+    # less-flat: everything not corner-picked inside the sector span,
+    # voxel-downsampled per ring (featureAssociation.cpp:771-783)
+    sp0, _, _ = _sector_bounds(packed.count, jnp.int32(0), cfg)
+    _, ep5, _ = _sector_bounds(packed.count, jnp.int32(cfg.sections_total - 1), cfg)
+    span = (idxs >= sp0[:, None]) & (idxs <= ep5[:, None]) & (packed.count[:, None] >= 12)
+    lf_mask = span & (labels <= 0) & packed.valid
+
+    cap_per_ring = cfg.max_less_flat // R
+
+    def ring_ds(xyz, mask, s):
+        return voxel_downsample(
+            xyz, mask, cfg.leaf_less_flat, cap_per_ring, aux=s[:, None]
+        )
+
+    lf_xyz, lf_s, lf_valid = jax.vmap(ring_ds)(packed.xyz, lf_mask, packed.row_frac)
+    less_flat = FeatureCloud(
+        xyz=lf_xyz.reshape(-1, 3),
+        ring=jnp.broadcast_to(rows[:, None], (R, cap_per_ring)).reshape(-1),
+        s=lf_s.reshape(-1),
+        valid=lf_valid.reshape(-1),
+    )
+
+    outlier = FeatureCloud(
+        xyz=packed.outlier_xyz,
+        ring=jnp.zeros((packed.outlier_xyz.shape[0],), jnp.int32),
+        s=outlier_s,
+        valid=packed.outlier_valid,
+    )
+
+    return ScanFeatures(
+        sharp=sharp,
+        less_sharp=less_sharp,
+        flat=flat,
+        less_flat=less_flat,
+        outlier=outlier,
+    )
