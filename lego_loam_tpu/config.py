@@ -112,10 +112,25 @@ class PipelineConfig:
     nearest_feature_search_sq_dist: float = 25.0
 
     # --- odometry (featureAssociation.cpp:1666-1695) ---
+    deskew: bool = True                      # de-skew by sweep time; turn off
+                                             # for motion-compensated data
+                                             # (e.g. KITTI bins)
     odom_outer_iters: int = 5                # correspondence refresh rounds
     odom_inner_iters: int = 5                # GN steps per refresh (5*5 = 25)
-    odom_step_scale: float = 0.05            # reference's B = -0.05*d damping
-    odom_huber_from_iter: int = 5            # robust weights kick in here
+    odom_step_scale: float = 1.0             # 1.0 = full GN steps; the
+                                             # reference damps with 0.05
+                                             # (featureAssociation.cpp:1321),
+                                             # which under-corrects ~28% of
+                                             # the seed error per scan
+    odom_robust_delta: float = 0.15          # Huber width (m): w=min(1,delta/|d|).
+                                             # Replaces the reference's linear
+                                             # reject 1-1.8|d| (featureAssociation
+                                             # .cpp:1139), which discards any
+                                             # residual > 0.5 m and stalls on
+                                             # poor seeds; Huber bounds outlier
+                                             # influence without rejecting signal
+    odom_max_step_rot_deg: float = 10.0      # trust-region clip per GN step
+    odom_max_step_trans: float = 1.0
     odom_degen_eig_thresh: float = 10.0      # featureAssociation.cpp:1338
     odom_delta_rot_deg: float = 0.1          # convergence thresholds
     odom_delta_trans_cm: float = 0.1

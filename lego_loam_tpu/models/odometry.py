@@ -1,0 +1,343 @@
+"""Scan-to-scan odometry: two-step Gauss-Newton on feature correspondences.
+
+TPU-native equivalent of the reference FeatureAssociation solver
+(reference: featureAssociation.cpp:1044-1725).  Same algorithm, rebuilt:
+
+  * correspondences via dense masked distance matrices (ops/knn.py) instead
+    of KD-trees + index walks: the ring-window constraints (same ring /
+    adjacent rings within +-2) become explicit masks on the distance matrix;
+  * the two-step split solves (pitch, roll, tz) on planar constraints then
+    (yaw, tx, ty) on edge constraints — the same 3+3 decomposition the
+    reference does in its camera frame (featureAssociation.cpp:1270-1478),
+    expressed in the lidar frame;
+  * Jacobians by forward-mode autodiff of the residual through the motion
+    chart (no hand-derived trig blocks);
+  * the reference's iteration schedule is kept: 5 association rounds x 5 GN
+    steps, robust weights from iteration 5, degeneracy projection from the
+    iteration-0 eigendecomposition, convergence at 0.1 deg / 0.1 cm
+    (featureAssociation.cpp:1666-1695).  Step damping is configurable; the
+    default takes full GN steps where the reference damps by 0.05;
+  * motion de-skew by geodesic pose interpolation (exp/log) instead of
+    per-point scaled Euler angles.
+
+The whole step is one jitted fixed-shape program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lego_loam_tpu.config import PipelineConfig
+from lego_loam_tpu.ops.knn import masked_argmin, sq_dist_matrix
+from lego_loam_tpu.types import FeatureCloud, ScanFeatures, empty_feature_cloud
+from lego_loam_tpu.utils.math3d import Pose, so3_exp, so3_log
+
+_EPS = 1e-12
+
+
+class OdometryState(NamedTuple):
+    pose: Pose               # world pose of the current sweep end
+    rel: Pose                # last relative motion (constant-velocity seed)
+    ref_corner: FeatureCloud  # previous less-sharp corners, at sweep end
+    ref_surf: FeatureCloud    # previous less-flat surfs, at sweep end
+
+
+def init_state(cfg: PipelineConfig) -> OdometryState:
+    return OdometryState(
+        pose=Pose.identity(),
+        rel=Pose.identity(),
+        ref_corner=empty_feature_cloud(cfg.max_less_sharp),
+        ref_surf=empty_feature_cloud(cfg.max_less_flat),
+    )
+
+
+# ---------------------------------------------------------------- warps
+
+def warp_to_start(rel: Pose, pts: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """De-skew: point captured at sweep fraction s -> sweep-start frame.
+
+    rel is the motion over the whole sweep (start frame of the end pose);
+    the sensor pose at fraction s is the geodesic interp identity->rel.
+    """
+    w = so3_log(rel.R)
+    Rs = so3_exp(s[:, None] * w)
+    return jnp.einsum("nij,nj->ni", Rs, pts) + s[:, None] * rel.t
+
+
+def warp_to_end(rel: Pose, pts: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """Project points to the sweep-end frame (featureAssociation.cpp:885-953
+    sans IMU terms, which are handled by the IMU module)."""
+    p_start = warp_to_start(rel, pts, s)
+    inv = rel.inverse()
+    return p_start @ inv.R.T + inv.t
+
+
+# ---------------------------------------------------------- associations
+
+def _assoc_corner(rel: Pose, sharp: FeatureCloud, ref: FeatureCloud, cfg):
+    """j1 = nearest ref corner; j2 = nearest in a different ring within +-2
+    (featureAssociation.cpp:1052-1104)."""
+    q = warp_to_start(rel, sharp.xyz, sharp.s)
+    d2 = sq_dist_matrix(q, ref.xyz, ref.valid)
+    i1, v1 = masked_argmin(d2)
+    r1 = ref.ring[i1]
+    dr = ref.ring[None, :] - r1[:, None]
+    i2, v2 = masked_argmin(d2, (dr != 0) & (jnp.abs(dr) <= 2))
+    thr = cfg.nearest_feature_search_sq_dist
+    ok = sharp.valid & (v1 < thr) & (v2 < thr)
+    return i1, i2, ok
+
+
+def _assoc_surf(rel: Pose, flat: FeatureCloud, ref: FeatureCloud, cfg):
+    """j1 = nearest; j2 = nearest in the same ring (j1 excluded); j3 =
+    nearest in an adjacent ring within +-2 (featureAssociation.cpp:1163-1226)."""
+    q = warp_to_start(rel, flat.xyz, flat.s)
+    d2 = sq_dist_matrix(q, ref.xyz, ref.valid)
+    i1, v1 = masked_argmin(d2)
+    r1 = ref.ring[i1]
+    dr = ref.ring[None, :] - r1[:, None]
+    rows = jnp.arange(q.shape[0])
+    d2x = d2.at[rows, i1].set(1e30)
+    i2, v2 = masked_argmin(d2x, dr == 0)
+    i3, v3 = masked_argmin(d2, (dr != 0) & (jnp.abs(dr) <= 2))
+    thr = cfg.nearest_feature_search_sq_dist
+    ok = flat.valid & (v1 < thr) & (v2 < thr) & (v3 < thr)
+    return i1, i2, i3, ok
+
+
+# ------------------------------------------------------------- residuals
+
+def _safe_norm(v, axis=-1, keepdims=False):
+    """Norm with a smooth, finite gradient at 0 (autodiff-safe)."""
+    return jnp.sqrt(jnp.sum(v * v, axis=axis, keepdims=keepdims) + _EPS)
+
+
+def _corner_distance(q, a, b):
+    """Point-to-line residual (featureAssociation.cpp:1121-1135).
+
+    The geometric distance |(q-a)x(q-b)|/|a-b| is unsigned; Gauss-Newton with
+    full steps oscillates on it (the reference only survives because of its
+    0.05 damping).  Standard ICP linearization instead: the perpendicular
+    direction is frozen (stop_gradient) so the residual is signed and smooth,
+    with value |perp| and gradient along it — exactly the reference's
+    (la, lb, lc) coefficient rows."""
+    u = (a - b) / _safe_norm(a - b, keepdims=True)
+    e = q - a
+    perp = e - jnp.sum(e * u, -1, keepdims=True) * u
+    n = jax.lax.stop_gradient(perp / _safe_norm(perp, keepdims=True))
+    return jnp.sum(n * perp, -1)
+
+
+def _surf_distance(q, a, b, c):
+    """Signed point-to-plane distance (featureAssociation.cpp:1234-1249)."""
+    n = jnp.cross(b - a, c - a)
+    n = n / _safe_norm(n, keepdims=True)
+    return jnp.sum(n * (q - a), axis=-1)
+
+
+# ----------------------------------------------------------------- solver
+
+def _apply_chart(rel: Pose, chart: jnp.ndarray, x: jnp.ndarray) -> Pose:
+    """rel' = (exp(w) R, t + v) with (w, v) = chart @ x; chart is (6, dof)."""
+    xi = chart @ x
+    return Pose(so3_exp(xi[:3]) @ rel.R, rel.t + xi[3:])
+
+
+# charts: columns are se(3)-basis directions for each solved parameter.
+# surf step solves (pitch, roll, tz); corner step solves (yaw, tx, ty).
+def _chart(cols):
+    m = jnp.zeros((6, len(cols)), jnp.float32)
+    for k, c in enumerate(cols):
+        m = m.at[c, k].set(1.0)
+    return m
+
+
+_SURF_CHART = _chart([1, 0, 5])    # wy (pitch), wx (roll), vz
+_CORNER_CHART = _chart([2, 3, 4])  # wz (yaw), vx, vy
+
+
+def _gn_iteration(rel, chart, pts, s, resid_at, cfg):
+    """One GN step.
+
+    Residuals are evaluated at the true de-skewed points q0 = interp(rel,s)p;
+    the Jacobian is taken through the first-order motion chart
+    q(x) = q0 + w x q0 + v, (w, v) = chart @ x.  Like the reference's
+    hand-derived rows (featureAssociation.cpp:1301-1322), the chart treats the
+    update as applying fully to every point (the per-point sweep-time scaling
+    stays inside the warp); this also keeps the degeneracy eigen-thresholds
+    on the same scale as the reference's.  resid_at(q) -> (d, qn, ok).
+    """
+    dof = chart.shape[1]
+    q0 = warp_to_start(rel, pts, s)
+
+    def f(x):
+        xi = chart @ x
+        w, v = xi[:3], xi[3:]
+        q = q0 + jnp.cross(jnp.broadcast_to(w, q0.shape), q0) + v
+        d, qn, ok = resid_at(q)
+        return d, (qn, ok)
+
+    x0 = jnp.zeros((dof,), jnp.float32)
+    d0, (qn, ok) = f(x0)
+    J = jax.jacfwd(f, has_aux=True)(x0)[0]
+
+    # Huber weights: full weight for |d| <= delta*qn, bounded influence above
+    w = jnp.minimum(1.0, cfg.odom_robust_delta * qn / jnp.maximum(jnp.abs(d0), 1e-9))
+    keep = ok & (w > 0.1) & jnp.isfinite(d0)
+    wk = jnp.where(keep, w, 0.0)
+
+    A = J * wk[:, None]
+    b = -cfg.odom_step_scale * wk * d0
+    H = A.T @ A
+    g = A.T @ b
+    # Degeneracy analysis uses the UNWEIGHTED system: the reference's eigen
+    # thresholds (10 / 100) are calibrated against unit-weight rows at
+    # iteration 0 (its robust weights only start at iteration 5).
+    Au = J * keep[:, None].astype(J.dtype)
+    H_unw = Au.T @ Au
+    x = jnp.linalg.solve(H + 1e-6 * jnp.eye(dof), g)
+    x = jnp.where(jnp.isfinite(x), x, 0.0)
+
+    # trust region: scale the step down if it exceeds the per-iteration caps
+    xi = chart @ x
+    rot_n = _safe_norm(xi[:3])
+    trans_n = _safe_norm(xi[3:])
+    scale = jnp.minimum(
+        1.0,
+        jnp.minimum(
+            jnp.radians(cfg.odom_max_step_rot_deg) / rot_n,
+            cfg.odom_max_step_trans / trans_n,
+        ),
+    )
+    x = x * scale
+
+    n_keep = jnp.sum(keep)
+    return x, H_unw, n_keep
+
+
+def _degeneracy_projection(H, thresh):
+    """P = V diag(keep) V^T zeroing eigen-directions with eigenvalue below
+    thresh (featureAssociation.cpp:1329-1356)."""
+    lam, V = jnp.linalg.eigh(H)
+    keepv = (lam >= thresh).astype(H.dtype)
+    return (V * keepv[None, :]) @ V.T
+
+
+def _phase(rel0, chart, pts, s, make_assoc, make_resid, cfg):
+    """One odometry phase: association rounds x GN steps with convergence
+    freezing, matching featureAssociation.cpp:1666-1695 scheduling."""
+    rot_thr = cfg.odom_delta_rot_deg
+    trans_thr = cfg.odom_delta_trans_cm
+    dof = chart.shape[1]
+
+    def outer(o, carry):
+        rel, P, done = carry
+        assoc = make_assoc(rel)
+
+        def inner(i, carry):
+            rel, P, done = carry
+            it = o * cfg.odom_inner_iters + i
+            resid_at = make_resid(assoc)
+            x, H, n_keep = _gn_iteration(rel, chart, pts, s, resid_at, cfg)
+            P = jnp.where(it == 0,
+                          _degeneracy_projection(H, cfg.odom_degen_eig_thresh), P)
+            x = P @ x
+            apply = (~done) & (n_keep >= cfg.odom_min_constraints)
+            rel = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(apply, a, b),
+                _apply_chart(rel, chart, x), rel)
+            d_rot = jnp.degrees(jnp.linalg.norm((chart @ x)[:3]))
+            d_trans = 100.0 * jnp.linalg.norm((chart @ x)[3:])
+            done = done | (apply & (d_rot < rot_thr) & (d_trans < trans_thr))
+            return rel, P, done
+
+        return jax.lax.fori_loop(0, cfg.odom_inner_iters, inner, (rel, P, done))
+
+    P0 = jnp.eye(dof, dtype=jnp.float32)
+    rel, _, _ = jax.lax.fori_loop(
+        0, cfg.odom_outer_iters, outer, (rel0, P0, jnp.bool_(False))
+    )
+    return rel
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def odometry_step(
+    state: OdometryState, feats: ScanFeatures, cfg: PipelineConfig
+):
+    """Process one scan's features; returns (new_state, world_pose, rel).
+
+    world_pose is the odometry pose of this sweep's end (the reference's
+    /laser_odom_to_init).  On the first scan (empty references) the solver
+    is a no-op and the pose stays at the seed, mirroring
+    checkSystemInitialization (featureAssociation.cpp:1605-1637).
+    """
+    sharp, flat = feats.sharp, feats.flat
+    if not cfg.deskew:
+        # Motion-compensated input: every point sits at the sweep's single
+        # pose.  s = 1 matches the current scan directly against the
+        # *unwarped* previous scan (warp_to_end at s = 1 is the identity),
+        # i.e. rel becomes the plain frame-to-frame transform.
+        sharp = sharp._replace(s=jnp.ones_like(sharp.s))
+        flat = flat._replace(s=jnp.ones_like(flat.s))
+        feats = feats._replace(
+            less_sharp=feats.less_sharp._replace(
+                s=jnp.ones_like(feats.less_sharp.s)),
+            less_flat=feats.less_flat._replace(
+                s=jnp.ones_like(feats.less_flat.s)))
+    ref_c, ref_s = state.ref_corner, state.ref_surf
+
+    n_ref_c = jnp.sum(ref_c.valid)
+    n_ref_s = jnp.sum(ref_s.valid)
+    gate = (n_ref_c >= cfg.odom_min_last_corner) & (n_ref_s >= cfg.odom_min_last_surf)
+
+    # ---- surf phase: (pitch, roll, tz)
+    def surf_assoc(rel):
+        return _assoc_surf(rel, flat, ref_s, cfg)
+
+    def surf_resid(assoc):
+        i1, i2, i3, ok = assoc
+
+        def resid_at(q):
+            d = _surf_distance(q, ref_s.xyz[i1], ref_s.xyz[i2], ref_s.xyz[i3])
+            qn = jnp.sqrt(jnp.sqrt(_safe_norm(q)))
+            return d, qn, ok
+        return resid_at
+
+    rel = _phase(state.rel, _SURF_CHART, flat.xyz, flat.s,
+                 surf_assoc, surf_resid, cfg)
+
+    # ---- corner phase: (yaw, tx, ty)
+    def corner_assoc(rel):
+        return _assoc_corner(rel, sharp, ref_c, cfg)
+
+    def corner_resid(assoc):
+        i1, i2, ok = assoc
+
+        def resid_at(q):
+            d = _corner_distance(q, ref_c.xyz[i1], ref_c.xyz[i2])
+            qn = jnp.ones_like(d)  # corner weights are not range-normalized
+            return d, qn, ok
+        return resid_at
+
+    rel = _phase(rel, _CORNER_CHART, sharp.xyz, sharp.s,
+                 corner_assoc, corner_resid, cfg)
+
+    rel = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(gate, a, b), rel, state.rel)
+
+    pose = state.pose.compose(rel)
+
+    # Build next references at this sweep's end frame
+    # (featureAssociation.cpp:1759-1788).
+    new_ref_c = feats.less_sharp._replace(
+        xyz=warp_to_end(rel, feats.less_sharp.xyz, feats.less_sharp.s))
+    new_ref_s = feats.less_flat._replace(
+        xyz=warp_to_end(rel, feats.less_flat.xyz, feats.less_flat.s))
+
+    new_state = OdometryState(
+        pose=pose, rel=rel, ref_corner=new_ref_c, ref_surf=new_ref_s)
+    return new_state, pose, rel

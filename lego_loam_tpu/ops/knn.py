@@ -1,0 +1,58 @@
+"""Batched nearest-neighbor search (PCL KdTreeFLANN replacement).
+
+The reference builds KD-trees over the previous frame's features and the
+local map and queries them point-by-point (reference:
+featureAssociation.cpp:1054,1165; mapOptmization.cpp:1099,1181).  On TPU the
+same searches are dense distance matrices on the MXU:
+||q - r||^2 = |q|^2 + |r|^2 - 2 q.r, followed by masked argmin / top-k.
+Reference sets here are small (hundreds to tens of thousands), so brute force
+beats tree traversal by a wide margin on this hardware.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_INF = 1.0e30
+
+
+def sq_dist_matrix(query: jnp.ndarray, ref: jnp.ndarray, ref_valid: jnp.ndarray):
+    """(Q, 3) x (N, 3) -> (Q, N) squared distances; invalid refs get +inf."""
+    qq = jnp.sum(query * query, axis=1, keepdims=True)
+    rr = jnp.sum(ref * ref, axis=1)
+    d2 = qq + rr[None, :] - 2.0 * query @ ref.T
+    d2 = jnp.maximum(d2, 0.0)
+    return jnp.where(ref_valid[None, :], d2, _INF)
+
+
+def masked_argmin(d2: jnp.ndarray, mask: jnp.ndarray | None = None):
+    """Row-wise argmin with optional extra (Q, N) mask.  Returns (idx, val)."""
+    if mask is not None:
+        d2 = jnp.where(mask, d2, _INF)
+    idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    val = jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0]
+    return idx, val
+
+
+def knn(query, ref, ref_valid, k: int, query_tile: int = 0):
+    """k nearest neighbors per query point.
+
+    Returns (idx (Q, k) int32, d2 (Q, k) float32), ascending by distance.
+    If query_tile > 0, the distance matrix is built in query tiles of that
+    size to bound memory (Q must be a multiple of the tile).
+    """
+    if query_tile and query.shape[0] > query_tile:
+        q = query.reshape(-1, query_tile, 3)
+
+        def tile(qt):
+            d2 = sq_dist_matrix(qt, ref, ref_valid)
+            nd2, nidx = jax.lax.top_k(-d2, k)
+            return nidx.astype(jnp.int32), -nd2
+
+        idx, d2 = jax.lax.map(tile, q)
+        return idx.reshape(-1, k), d2.reshape(-1, k)
+
+    d2 = sq_dist_matrix(query, ref, ref_valid)
+    nd2, nidx = jax.lax.top_k(-d2, k)
+    return nidx.astype(jnp.int32), -nd2
