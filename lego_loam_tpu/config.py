@@ -147,6 +147,13 @@ class PipelineConfig:
     map_nn_radius_sq: float = 1.0            # 5th-NN gate (mapOptmization.cpp:1101)
     map_line_eig_ratio: float = 3.0          # line-ness test
     map_plane_max_resid: float = 0.2
+    map_plane_min_spread: float = 0.1        # reject collinear 5-NN "planes":
+                                             # require sqrt(mid eigenvalue) of
+                                             # the neighbor covariance above
+                                             # this (single-ring arcs at far
+                                             # range fit arbitrary tilted
+                                             # planes that pass the residual
+                                             # check and corrupt the solve)
     mapping_process_every: int = 3           # solve every k-th scan (0.3 s at 10 Hz)
     keyframe_min_translation: float = 0.3    # mapOptmization.cpp:1360-1363
     surrounding_keyframe_search_radius: float = 50.0
