@@ -1,0 +1,119 @@
+"""Loop-closure detection and correction.
+
+Equivalent of the reference's 1 Hz loop-closure thread
+(reference: mapOptmization.cpp:802-954): find a keyframe within 7 m whose
+timestamp is >30 s old, ICP-align the newest keyframe's cloud against a
++-25-keyframe history submap, and on success add a loop edge and re-optimize
+the pose graph.  Here the whole check is one jitted fixed-shape program the
+host driver calls periodically; the asynchronous thread + mutex machinery is
+designed away (single-writer state).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lego_loam_tpu.config import PipelineConfig
+from lego_loam_tpu.models.mapping import MappingState
+from lego_loam_tpu.models.posegraph import (
+    distribute_loop_error,
+    solve_pose_graph,
+)
+from lego_loam_tpu.ops.icp import icp_align
+from lego_loam_tpu.ops.voxel import voxel_downsample
+from lego_loam_tpu.utils.math3d import Pose
+
+
+class LoopResult(NamedTuple):
+    closed: jnp.ndarray     # bool
+    candidate: jnp.ndarray  # int32 history keyframe index
+    fitness: jnp.ndarray    # float32 ICP fitness
+
+
+def _keyframe_cloud(state: MappingState, idx, cfg: PipelineConfig,
+                    transformed: bool = True):
+    """Corner+surf block of keyframe idx, optionally in map frame."""
+    pts = jnp.concatenate([state.kf_corner[idx], state.kf_surf[idx]], axis=0)
+    val = jnp.concatenate(
+        [state.kf_corner_valid[idx], state.kf_surf_valid[idx]], axis=0)
+    if transformed:
+        pts = pts @ state.kf_R[idx].T + state.kf_t[idx]
+    return pts, val
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def loop_closure_step(state: MappingState, time: jnp.ndarray,
+                      cfg: PipelineConfig):
+    """Detect + ICP + graph update.  Returns (state, LoopResult)."""
+    K = cfg.max_keyframes
+    latest = jnp.maximum(state.n_kf - 1, 0)
+    cur_pos = state.kf_t[latest]
+
+    idx = jnp.arange(K)
+    alive = idx < state.n_kf
+    d2 = jnp.sum((state.kf_t - cur_pos) ** 2, axis=1)
+    old_enough = jnp.abs(state.kf_time - time) > cfg.loop_min_time_gap
+    qualify = alive & old_enough & (
+        d2 < cfg.history_keyframe_search_radius ** 2)
+    cand = jnp.argmin(jnp.where(qualify, d2, 1e30)).astype(jnp.int32)
+    found = jnp.any(qualify) & (state.n_loops < cfg.max_loop_edges)
+
+    # current keyframe cloud at its (possibly wrong) map pose
+    src, src_val = _keyframe_cloud(state, latest, cfg)
+
+    # history submap: candidate +- history_keyframe_search_num keyframes
+    H = cfg.history_keyframe_search_num
+    offs = jnp.arange(-H, H + 1)
+    sel = jnp.clip(cand + offs, 0, K - 1)
+    sel_ok = (cand + offs >= 0) & (cand + offs < state.n_kf)
+
+    def gather(i, ok):
+        pts, val = _keyframe_cloud(state, i, cfg)
+        return pts, val & ok
+
+    hist_pts, hist_val = jax.vmap(gather)(sel, sel_ok)
+    hist_pts = hist_pts.reshape(-1, 3)
+    hist_val = hist_val.reshape(-1)
+    hist_pts, hist_val = voxel_downsample(
+        hist_pts, hist_val, cfg.leaf_history, cfg.max_map_surf)
+
+    T_icp, fitness = icp_align(
+        src, src_val, hist_pts, hist_val, Pose.identity(),
+        iters=cfg.loop_icp_iters,
+        max_corr_dist=cfg.loop_icp_max_corr_dist,
+        query_tile=cfg.nn_query_tile,
+    )
+
+    accept = found & (fitness < cfg.history_keyframe_fitness_score)
+
+    # corrected latest pose and loop measurement Z = T_i'^-1 T_j
+    T_latest = Pose(state.kf_R[latest], state.kf_t[latest])
+    T_corr = T_icp.compose(T_latest)
+    T_cand = Pose(state.kf_R[cand], state.kf_t[cand])
+    Z = T_corr.inverse().compose(T_cand)
+    w = 1.0 / jnp.maximum(fitness, 1e-3)
+
+    slot = jnp.minimum(state.n_loops, cfg.max_loop_edges - 1)
+
+    def ins(arr, val):
+        return jnp.where(accept, arr.at[slot].set(val), arr)
+
+    with_edge = state._replace(
+        loop_i=ins(state.loop_i, latest),
+        loop_j=ins(state.loop_j, cand),
+        loop_R=ins(state.loop_R, Z.R),
+        loop_t=ins(state.loop_t, Z.t),
+        loop_w=ins(state.loop_w, w),
+        n_loops=jnp.where(accept, state.n_loops + 1, state.n_loops),
+    )
+
+    warm = distribute_loop_error(with_edge, latest, cand, Z, cfg)
+    solved = solve_pose_graph(warm, cfg)
+
+    new_state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(accept, a, b), solved, with_edge)
+    return new_state, LoopResult(closed=accept, candidate=cand, fitness=fitness)

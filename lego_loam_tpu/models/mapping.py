@@ -50,6 +50,17 @@ class MappingState(NamedTuple):
     kf_outlier_valid: jnp.ndarray
     kf_time: jnp.ndarray       # (K,)
     n_kf: jnp.ndarray          # int32
+    # pose-graph bookkeeping (replaces gtsam's factor list,
+    # mapOptmization.cpp:1376-1390): chain between-measurement from the
+    # previous keyframe, recorded at insertion, plus padded loop edges
+    kf_meas_R: jnp.ndarray     # (K, 3, 3) Z_{i-1,i} rotation
+    kf_meas_t: jnp.ndarray     # (K, 3)
+    loop_i: jnp.ndarray        # (L,) int32 latest-keyframe index of each loop
+    loop_j: jnp.ndarray        # (L,) int32 history-keyframe index
+    loop_R: jnp.ndarray        # (L, 3, 3) measured Z_ij
+    loop_t: jnp.ndarray        # (L, 3)
+    loop_w: jnp.ndarray        # (L,) information weight (1/fitness-based)
+    n_loops: jnp.ndarray       # int32
     # latched poses for the odometry-delta prediction (mapOptmization.cpp:376-461)
     bef_mapped: Pose           # odometry pose at the last solve
     aft_mapped: Pose           # mapped pose at the last solve
@@ -68,6 +79,15 @@ def init_state(cfg: PipelineConfig) -> MappingState:
         kf_outlier_valid=jnp.zeros((K, cfg.kf_outlier_cap), bool),
         kf_time=jnp.zeros((K,), jnp.float32),
         n_kf=jnp.int32(0),
+        kf_meas_R=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (K, 3, 3)).copy(),
+        kf_meas_t=jnp.zeros((K, 3), jnp.float32),
+        loop_i=jnp.zeros((cfg.max_loop_edges,), jnp.int32),
+        loop_j=jnp.zeros((cfg.max_loop_edges,), jnp.int32),
+        loop_R=jnp.broadcast_to(
+            jnp.eye(3, dtype=jnp.float32), (cfg.max_loop_edges, 3, 3)).copy(),
+        loop_t=jnp.zeros((cfg.max_loop_edges, 3), jnp.float32),
+        loop_w=jnp.zeros((cfg.max_loop_edges,), jnp.float32),
+        n_loops=jnp.int32(0),
         bef_mapped=Pose.identity(),
         aft_mapped=Pose.identity(),
     )
@@ -301,7 +321,14 @@ def mapping_step(
         feats.outlier.xyz, feats.outlier.valid, cfg.leaf_outlier,
         cfg.kf_outlier_cap)
 
+    # chain between-measurement Z = T_prev^-1 T (mapOptmization.cpp:1384-1388)
+    prev_idx = jnp.maximum(state.n_kf - 1, 0)
+    T_prev = Pose(state.kf_R[prev_idx], state.kf_t[prev_idx])
+    Z = T_prev.inverse().compose(T)
+
     new_state = state._replace(
+        kf_meas_R=ins(state.kf_meas_R, Z.R),
+        kf_meas_t=ins(state.kf_meas_t, Z.t),
         kf_R=ins(state.kf_R, T.R),
         kf_t=ins(state.kf_t, T.t),
         kf_corner=ins(state.kf_corner, corner_pts[: cfg.kf_corner_cap]),

@@ -1,0 +1,149 @@
+"""Full SLAM pipeline: the reference's four ROS processes as two jitted
+programs driven by a thin host loop.
+
+Reference architecture (SURVEY.md §1): imageProjection -> featureAssociation
+-> mapOptimization -> transformFusion as separate OS processes exchanging
+serialized clouds at gated rates (200 Hz polls, stamp matching, 0.3 s
+mapping throttle; featureAssociation.cpp:1817-1886, mapOptmization.cpp:
+1487-1522).  Here:
+
+  * front-end program: projection + segmentation + features + scan-to-scan
+    odometry — one jit, runs every scan;
+  * back-end program: scan-to-map + keyframe/pose-graph update — one jit,
+    runs every cfg.mapping_process_every scans (the 0.3 s throttle made
+    deterministic);
+  * loop closure: one jit, every cfg.loop_check_every scans (the 1 Hz
+    thread made deterministic);
+  * fusion: a two-line compose at scan rate.
+
+No drops, no stamp gates, no mutexes: the host loop is the only writer.
+"""
+
+from __future__ import annotations
+
+import time as _time
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lego_loam_tpu.config import PipelineConfig
+from lego_loam_tpu.models import loop as lc
+from lego_loam_tpu.models import mapping as mp
+from lego_loam_tpu.models import odometry as odo
+from lego_loam_tpu.models.fusion import fuse_pose
+from lego_loam_tpu.ops.compaction import segment_scan
+from lego_loam_tpu.ops.features import extract_features
+from lego_loam_tpu.ops.projection import project_scan
+from lego_loam_tpu.utils.math3d import Pose
+
+
+@partial(jax.jit, static_argnames=("cfg", "use_ring"))
+def frontend_step(ostate, xyz, valid, ring, cfg: PipelineConfig,
+                  use_ring: bool):
+    """scan -> features -> odometry pose.  One device program."""
+    img = project_scan(xyz, valid, cfg, ring if use_ring else None)
+    packed, o_rel, ground, seg = segment_scan(img, cfg)
+    feats = extract_features(packed, o_rel, cfg)
+    ostate, opose, rel = odo.odometry_step(ostate, feats, cfg)
+    stats = {
+        "n_valid_px": jnp.sum(img.valid),
+        "n_ground": jnp.sum(ground),
+        "n_segmented": jnp.sum(packed.count),
+        "n_sharp": jnp.sum(feats.sharp.valid),
+        "n_flat": jnp.sum(feats.flat.valid),
+    }
+    return ostate, feats, opose, rel, stats
+
+
+@dataclass
+class FrameResult:
+    odom_pose: Pose
+    fused_pose: Pose
+    mapped_pose: Pose | None
+    loop_closed: bool
+    stats: dict
+    wall_ms: float
+
+
+@dataclass
+class LegoLoamPipeline:
+    """Host driver.  Feed scans with process_scan(); poses come back in the
+    map frame of the first scan."""
+
+    cfg: PipelineConfig
+    loop_check_every: int = 10
+
+    def __post_init__(self):
+        self.ostate = odo.init_state(self.cfg)
+        self.mstate = mp.init_state(self.cfg)
+        self.frame = 0
+        self.trajectory: list[np.ndarray] = []
+        self.last_mapped = Pose.identity()
+
+    def process_scan(self, xyz, valid, ring=None, t: float | None = None
+                     ) -> FrameResult:
+        cfg = self.cfg
+        t = float(t) if t is not None else self.frame * cfg.sensor.scan_period
+        t0 = _time.perf_counter()
+
+        use_ring = cfg.sensor.use_ring
+        xyz = jnp.asarray(xyz, jnp.float32)
+        valid = jnp.asarray(valid)
+        ring_arr = (jnp.asarray(ring, jnp.int32) if ring is not None
+                    else jnp.zeros(xyz.shape[0], jnp.int32))
+
+        self.ostate, feats, opose, rel, stats = frontend_step(
+            self.ostate, xyz, valid, ring_arr, cfg, use_ring)
+
+        mapped = None
+        loop_closed = False
+        if self.frame % cfg.mapping_process_every == 0:
+            mfeats = feats._replace(
+                less_sharp=self.ostate.ref_corner,
+                less_flat=self.ostate.ref_surf)
+            self.mstate, mpose = mp.mapping_step(
+                self.mstate, mfeats, opose, jnp.float32(t), cfg)
+            mapped = mpose
+            self.last_mapped = mpose
+
+            if (cfg.loop_closure_enabled
+                    and self.frame % self.loop_check_every == 0
+                    and int(self.mstate.n_kf) > 2):
+                self.mstate, res = lc.loop_closure_step(
+                    self.mstate, jnp.float32(t), cfg)
+                loop_closed = bool(res.closed)
+
+        fused = fuse_pose(self.mstate, opose)
+        jax.block_until_ready(fused.t)
+        wall_ms = (_time.perf_counter() - t0) * 1e3
+
+        self.trajectory.append(np.asarray(fused.t))
+        self.frame += 1
+        return FrameResult(
+            odom_pose=opose, fused_pose=fused, mapped_pose=mapped,
+            loop_closed=loop_closed,
+            stats={k: int(v) for k, v in stats.items()},
+            wall_ms=wall_ms,
+        )
+
+    # ---- exports (mapOptmization.cpp:724-800 analog) ----
+
+    def keyframe_poses(self) -> np.ndarray:
+        n = int(self.mstate.n_kf)
+        return np.asarray(self.mstate.kf_t[:n])
+
+    def global_map(self, what: str = "surf") -> np.ndarray:
+        """All keyframe blocks in the map frame (host-side, for export)."""
+        n = int(self.mstate.n_kf)
+        blocks = {"surf": (self.mstate.kf_surf, self.mstate.kf_surf_valid),
+                  "corner": (self.mstate.kf_corner, self.mstate.kf_corner_valid),
+                  "outlier": (self.mstate.kf_outlier, self.mstate.kf_outlier_valid),
+                  }[what]
+        pts, val = np.asarray(blocks[0][:n]), np.asarray(blocks[1][:n])
+        R = np.asarray(self.mstate.kf_R[:n])
+        t = np.asarray(self.mstate.kf_t[:n])
+        out = np.einsum("kij,kcj->kci", R, pts) + t[:, None, :]
+        return out[val]

@@ -1,0 +1,65 @@
+"""Batched point-to-point ICP (PCL IterativeClosestPoint replacement).
+
+The reference aligns loop-closure candidates with pcl::ICP (100 iterations,
+max correspondence distance 100, reference: mapOptmization.cpp:892-904).
+Here: fixed-iteration ICP with chunked MXU nearest-neighbor search and a
+weighted Kabsch (SVD) update per iteration; fitness is PCL's score (mean
+squared NN distance of the matched source points).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from lego_loam_tpu.ops.knn import knn
+from lego_loam_tpu.utils.math3d import Pose
+
+
+def _kabsch(src, dst, w):
+    """Weighted rigid alignment src -> dst.  w: per-pair weights (N,)."""
+    wsum = jnp.maximum(jnp.sum(w), 1e-6)
+    mu_s = jnp.sum(src * w[:, None], axis=0) / wsum
+    mu_d = jnp.sum(dst * w[:, None], axis=0) / wsum
+    S = ((src - mu_s) * w[:, None]).T @ (dst - mu_d)
+    U, _, Vt = jnp.linalg.svd(S)
+    d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
+    flip = jnp.diag(jnp.array([1.0, 1.0, 1.0]).at[2].set(d))
+    R = Vt.T @ flip @ U.T
+    t = mu_d - R @ mu_s
+    return Pose(R.astype(src.dtype), t.astype(src.dtype))
+
+
+@partial(jax.jit, static_argnames=("iters", "query_tile"))
+def icp_align(
+    src, src_valid, dst, dst_valid, T0: Pose,
+    iters: int = 30,
+    max_corr_dist: float = 100.0,
+    query_tile: int = 0,
+):
+    """Align src onto dst starting from T0.
+
+    Returns (T, fitness): T maps src into dst's frame; fitness is the mean
+    squared NN distance of valid matched points at the final pose (PCL
+    getFitnessScore semantics).
+    """
+    max_d2 = max_corr_dist * max_corr_dist
+
+    def body(_, T):
+        q = src @ T.R.T + T.t
+        idx, d2 = knn(q, dst, dst_valid, 1, query_tile)
+        m = src_valid & (d2[:, 0] < max_d2)
+        w = m.astype(src.dtype)
+        upd = _kabsch(q, dst[idx[:, 0]], w)
+        return upd.compose(T)
+
+    T = jax.lax.fori_loop(0, iters, body, T0)
+
+    q = src @ T.R.T + T.t
+    idx, d2 = knn(q, dst, dst_valid, 1, query_tile)
+    m = src_valid & (d2[:, 0] < max_d2)
+    fitness = jnp.sum(jnp.where(m, d2[:, 0], 0.0)) / jnp.maximum(
+        jnp.sum(m), 1)
+    return T, fitness
