@@ -1,0 +1,66 @@
+"""Benchmark: full SLAM pipeline frames/s on synthetic VLP-16 scans.
+
+Measures the end-to-end per-scan latency (front-end jit + scan-to-map jit on
+its reference cadence) in steady state on the default JAX platform (the real
+TPU chip under the driver).  Baseline: the reference claims real-time 10 Hz
+VLP-16 operation on its target CPU (reference: README.md:3,106; BASELINE.md),
+so vs_baseline = fps / 10.
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from lego_loam_tpu import config_for
+    from lego_loam_tpu.io import synthetic as syn
+    from lego_loam_tpu.models.pipeline import LegoLoamPipeline
+
+    cfg = config_for(
+        "vlp16", deskew=False,
+        max_keyframes=256,          # bounded pool for the short bench run
+    )
+    world = syn.default_world(seed=0)
+    n_warm, n_meas = 6, 30
+    poses = syn.circle_trajectory(n_warm + n_meas, radius=12.0, arc=0.9 * np.pi)
+
+    scans = []
+    for k, (R, t) in enumerate(poses):
+        xyz, valid, ring = syn.raycast(
+            world, R, t, cfg.sensor, noise=0.02,
+            rng=np.random.default_rng(k))
+        scans.append((
+            jnp.asarray(xyz, jnp.float32),
+            jnp.asarray(valid),
+            jnp.asarray(ring, jnp.int32),
+        ))
+
+    pipe = LegoLoamPipeline(cfg)
+    for k in range(n_warm):
+        pipe.process_scan(*scans[k])
+
+    t0 = time.perf_counter()
+    for k in range(n_warm, n_warm + n_meas):
+        pipe.process_scan(*scans[k])
+    dt = time.perf_counter() - t0
+
+    fps = n_meas / dt
+    print(json.dumps({
+        "metric": "vlp16_scan_to_map_pipeline",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 10.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

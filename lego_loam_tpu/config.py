@@ -198,8 +198,14 @@ class PipelineConfig:
     # --- pose graph (replaces gtsam; models/posegraph.py) ---
     pg_gn_iters: int = 8
     pg_cg_iters: int = 48
-    pg_rot_sigma: float = 1e-3               # odometry edge noise (rot, rad)
-    pg_trans_sigma: float = 1e-4             # odometry edge noise (trans, m)
+    pg_rot_sigma: float = 2e-3               # odometry edge noise (rot, rad).
+    pg_trans_sigma: float = 0.01             # odometry edge noise (trans, m).
+                                             # Realistic scan-to-map noise; the
+                                             # reference feeds gtsam 1e-3/1e-4
+                                             # (variances 1e-6/1e-8,
+                                             # mapOptmization.cpp:347-350),
+                                             # which makes the chain so stiff a
+                                             # loop factor barely corrects it
     pg_prior_sigma: float = 1e-4
 
     @property

@@ -1,0 +1,196 @@
+"""IMU integration, attitude interpolation, and de-skew support.
+
+Equivalent of the reference's IMU path (reference:
+featureAssociation.cpp:317-459 — 200-entry ring buffers, gravity removal,
+dead-reckoned velocity/position, integrated angular rotation;
+featureAssociation.cpp:1639-1664 — odometry seeding;
+mapOptmization.cpp:463-496 — roll/pitch blending into the mapped pose).
+
+Redesign: one fixed-shape ImuBuffer pytree, rotations as matrices in the
+lidar frame (x fwd, y left, z up) instead of the reference's swapped-axis
+Euler chains; interpolation by geodesic blend.  All functions jit-friendly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lego_loam_tpu.config import PipelineConfig
+from lego_loam_tpu.utils.math3d import (
+    Pose,
+    euler_to_mat,
+    mat_to_euler,
+    so3_exp,
+    so3_log,
+)
+
+GRAVITY = 9.81
+QUE_LEN = 200  # imuQueLength (utility.h:109)
+
+
+class ImuBuffer(NamedTuple):
+    time: jnp.ndarray    # (Q,) sample timestamps; -inf where empty
+    att: jnp.ndarray     # (Q, 3, 3) world attitude (from the 9-DOF AHRS)
+    velo: jnp.ndarray    # (Q, 3) dead-reckoned world velocity
+    shift: jnp.ndarray   # (Q, 3) dead-reckoned world position
+    ang: jnp.ndarray     # (Q, 3) integrated body angular rate
+    ptr: jnp.ndarray     # int32 index of the newest sample
+    count: jnp.ndarray   # int32 samples seen (saturates at QUE_LEN)
+
+
+def init_buffer() -> ImuBuffer:
+    return ImuBuffer(
+        time=jnp.full((QUE_LEN,), -jnp.inf, jnp.float32),
+        att=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
+                             (QUE_LEN, 3, 3)).copy(),
+        velo=jnp.zeros((QUE_LEN, 3), jnp.float32),
+        shift=jnp.zeros((QUE_LEN, 3), jnp.float32),
+        ang=jnp.zeros((QUE_LEN, 3), jnp.float32),
+        ptr=jnp.int32(QUE_LEN - 1),
+        count=jnp.int32(0),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def imu_push(buf: ImuBuffer, t, att_R, acc_body, gyro,
+             cfg: PipelineConfig) -> ImuBuffer:
+    """Ingest one IMU sample (AccumulateIMUShiftAndRotation analog,
+    featureAssociation.cpp:392-459).
+
+    att_R: (3, 3) world attitude.  acc_body: specific force in the body
+    frame (includes gravity reaction).  gyro: body angular rate.
+    """
+    acc_w = att_R @ acc_body - jnp.array([0.0, 0.0, GRAVITY], jnp.float32)
+
+    prev = buf.ptr
+    dt = t - buf.time[prev]
+    # the reference only integrates across gaps shorter than one sweep
+    ok = (dt > 0) & (dt < cfg.sensor.scan_period) & (buf.count > 0)
+    dtc = jnp.where(ok, dt, 0.0)
+
+    shift = buf.shift[prev] + buf.velo[prev] * dtc + 0.5 * acc_w * dtc * dtc
+    velo = buf.velo[prev] + acc_w * dtc
+    ang = buf.ang[prev] + gyro * dtc
+
+    slot = (buf.ptr + 1) % QUE_LEN
+    return ImuBuffer(
+        time=buf.time.at[slot].set(t),
+        att=buf.att.at[slot].set(att_R),
+        velo=buf.velo.at[slot].set(velo),
+        shift=buf.shift.at[slot].set(shift),
+        ang=buf.ang.at[slot].set(ang),
+        ptr=jnp.int32(slot),
+        count=jnp.minimum(buf.count + 1, QUE_LEN),
+    )
+
+
+def _ordered(buf: ImuBuffer):
+    """Chronological view of the ring buffer."""
+    order = (buf.ptr + 1 + jnp.arange(QUE_LEN)) % QUE_LEN
+    return (buf.time[order], buf.att[order], buf.velo[order],
+            buf.shift[order], buf.ang[order])
+
+
+def _interp_R(Ra, Rb, u):
+    """Geodesic blend between attitudes; u in [0, 1]."""
+    w = so3_log(jnp.swapaxes(Ra, -1, -2) @ Rb)
+    return Ra @ so3_exp(u[..., None] * w)
+
+
+def imu_sample(buf: ImuBuffer, t):
+    """Interpolated (att_R, velo, shift, ang) at time t (clamped to the
+    buffer's range).  t may be a scalar or a vector."""
+    times, att, velo, shift, ang = _ordered(buf)
+    t = jnp.asarray(t)
+    scalar = t.ndim == 0
+    tv = jnp.atleast_1d(t)
+
+    hi = jnp.clip(jnp.searchsorted(times, tv), 1, QUE_LEN - 1)
+    lo = hi - 1
+    t0, t1 = times[lo], times[hi]
+    u = jnp.clip((tv - t0) / jnp.maximum(t1 - t0, 1e-6), 0.0, 1.0)
+    u = jnp.where(jnp.isfinite(t0), u, 1.0)  # clamp below the oldest sample
+
+    R = _interp_R(att[lo], att[hi], u)
+    v = velo[lo] + u[:, None] * (velo[hi] - velo[lo])
+    s = shift[lo] + u[:, None] * (shift[hi] - shift[lo])
+    a = ang[lo] + u[:, None] * (ang[hi] - ang[lo])
+    if scalar:
+        return R[0], v[0], s[0], a[0]
+    return R, v, s, a
+
+
+class ScanImu(NamedTuple):
+    """Per-scan IMU summary consumed by odometry and mapping."""
+
+    valid: jnp.ndarray      # bool: buffer had usable samples
+    att_start: jnp.ndarray  # (3, 3) attitude at sweep start
+    rel_R: jnp.ndarray      # (3, 3) sweep rotation from integrated gyro
+    velo_delta: jnp.ndarray  # (3,) velocity change over the sweep (start body)
+    shift_vec: jnp.ndarray  # (3,) nonlinear drift over the sweep (start body)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def scan_imu(buf: ImuBuffer, t_scan, cfg: PipelineConfig) -> ScanImu:
+    """Summarize the IMU over sweep [t_scan, t_scan + scan_period]
+    (the reference's imuAngularFromStart / imuShiftFromStart / imuVeloFrom-
+    Start quantities, featureAssociation.cpp:573-607, 1639-1664)."""
+    dt = cfg.sensor.scan_period
+    R0, v0, s0, a0 = imu_sample(buf, t_scan)
+    R1, v1, s1, a1 = imu_sample(buf, t_scan + dt)
+
+    rel_R = so3_exp(a1 - a0)  # integrated body rates over the sweep
+    # drift beyond the constant-velocity model, in the start body frame
+    drift_w = s1 - s0 - v0 * dt
+    shift_vec = R0.T @ drift_w
+
+    # Linear-acceleration part of the velocity change: subtract the
+    # rotation-induced component ((rel_R - I) v0_body) so a steady turn
+    # contributes zero.  The reference uses the raw world velocity delta
+    # (featureAssociation.cpp:345-352), which biases its seed laterally by
+    # a*dt^2 whenever the platform is turning.
+    v0_body = R0.T @ v0
+    dv_body = R0.T @ (v1 - v0)
+    dv_lin = dv_body - (rel_R - jnp.eye(3, dtype=jnp.float32)) @ v0_body
+
+    valid = buf.count >= 2
+    eye = jnp.eye(3, dtype=jnp.float32)
+    return ScanImu(
+        valid=valid,
+        att_start=jnp.where(valid, R0, eye),
+        rel_R=jnp.where(valid, rel_R, eye),
+        velo_delta=jnp.where(valid, dv_lin, 0.0),
+        shift_vec=jnp.where(valid, shift_vec, 0.0),
+    )
+
+
+def odometry_seed(prev_rel: Pose, si: ScanImu,
+                  scan_period: float = 0.1) -> Pose:
+    """Seed the scan-to-scan solve (updateInitialGuess analog,
+    featureAssociation.cpp:1639-1664): rotation from the integrated gyro,
+    translation as constant velocity plus the IMU's velocity-delta
+    (acceleration) correction — the reference's
+    transformCur[3..5] -= imuVeloFromStart * scanPeriod, where
+    imuVeloFromStart is the velocity *change* over the sweep
+    (featureAssociation.cpp:345-352, 1659-1663)."""
+    R = jnp.where(si.valid, si.rel_R, prev_rel.R)
+    t = jnp.where(si.valid, prev_rel.t + si.velo_delta * scan_period,
+                  prev_rel.t)
+    return Pose(R, t)
+
+
+def blend_attitude(T: Pose, buf: ImuBuffer, t, cfg: PipelineConfig) -> Pose:
+    """Blend a fraction of the IMU roll/pitch into a mapped pose
+    (transformUpdate analog, mapOptmization.cpp:463-496)."""
+    R_imu, _, _, _ = imu_sample(buf, t)
+    w = cfg.imu_attitude_blend
+    roll, pitch, yaw = mat_to_euler(T.R)
+    ir, ip, _ = mat_to_euler(R_imu)
+    valid = buf.count >= 2
+    roll = jnp.where(valid, (1 - w) * roll + w * ir, roll)
+    pitch = jnp.where(valid, (1 - w) * pitch + w * ip, pitch)
+    return Pose(euler_to_mat(roll, pitch, yaw), T.t)

@@ -329,7 +329,13 @@ def odometry_step(
     rel = jax.tree_util.tree_map(
         lambda a, b: jnp.where(gate, a, b), rel, state.rel)
 
-    pose = state.pose.compose(rel)
+    # First scan (no references yet): the map frame IS this scan's frame —
+    # do not fold the seed into the pose (checkSystemInitialization analog,
+    # featureAssociation.cpp:1605-1637).
+    initialized = (n_ref_c + n_ref_s) > 0
+    pose = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(initialized, a, b),
+        state.pose.compose(rel), state.pose)
 
     # Build next references at this sweep's end frame
     # (featureAssociation.cpp:1759-1788).

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lego_loam_tpu.config import PipelineConfig
+from lego_loam_tpu.models import imu as imu_mod
 from lego_loam_tpu.models import loop as lc
 from lego_loam_tpu.models import mapping as mp
 from lego_loam_tpu.models import odometry as odo
@@ -79,9 +80,21 @@ class LegoLoamPipeline:
     def __post_init__(self):
         self.ostate = odo.init_state(self.cfg)
         self.mstate = mp.init_state(self.cfg)
+        self.imu_buf = imu_mod.init_buffer()
+        self.imu_used = False
         self.frame = 0
         self.trajectory: list[np.ndarray] = []
         self.last_mapped = Pose.identity()
+
+    def push_imu(self, t, att_R, acc_body, gyro) -> None:
+        """Ingest a 9-DOF IMU sample (attitude matrix, specific force,
+        angular rate) — the reference's imuHandler
+        (featureAssociation.cpp:431-459)."""
+        self.imu_buf = imu_mod.imu_push(
+            self.imu_buf, jnp.float32(t), jnp.asarray(att_R, jnp.float32),
+            jnp.asarray(acc_body, jnp.float32), jnp.asarray(gyro, jnp.float32),
+            self.cfg)
+        self.imu_used = True
 
     def process_scan(self, xyz, valid, ring=None, t: float | None = None
                      ) -> FrameResult:
@@ -95,6 +108,11 @@ class LegoLoamPipeline:
         ring_arr = (jnp.asarray(ring, jnp.int32) if ring is not None
                     else jnp.zeros(xyz.shape[0], jnp.int32))
 
+        if self.imu_used:
+            si = imu_mod.scan_imu(self.imu_buf, jnp.float32(t), cfg)
+            seed = imu_mod.odometry_seed(self.ostate.rel, si, cfg.sensor.scan_period)
+            self.ostate = self.ostate._replace(rel=seed)
+
         self.ostate, feats, opose, rel, stats = frontend_step(
             self.ostate, xyz, valid, ring_arr, cfg, use_ring)
 
@@ -106,6 +124,10 @@ class LegoLoamPipeline:
                 less_flat=self.ostate.ref_surf)
             self.mstate, mpose = mp.mapping_step(
                 self.mstate, mfeats, opose, jnp.float32(t), cfg)
+            if self.imu_used:
+                mpose = imu_mod.blend_attitude(mpose, self.imu_buf,
+                                               jnp.float32(t), cfg)
+                self.mstate = self.mstate._replace(aft_mapped=mpose)
             mapped = mpose
             self.last_mapped = mpose
 
