@@ -21,6 +21,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir",
+                      __file__.rsplit("/", 1)[0] + "/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     from lego_loam_tpu import config_for
     from lego_loam_tpu.io import synthetic as syn
     from lego_loam_tpu.models.pipeline import LegoLoamPipeline

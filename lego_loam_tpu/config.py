@@ -140,6 +140,14 @@ class PipelineConfig:
 
     # --- mapping (utility.h:128-136, mapOptmization.cpp:1229-1350) ---
     map_iters: int = 10
+    map_assoc_iters: int = 3                 # re-associate 5-NN for the first
+                                             # N GN iterations, then freeze
+                                             # correspondences so the solve
+                                             # converges quadratically and the
+                                             # early exit actually fires (the
+                                             # reference re-searches every
+                                             # iteration and always runs all
+                                             # 10, mapOptmization.cpp:1336)
     map_degen_eig_thresh: float = 100.0
     map_delta_rot_deg: float = 0.05
     map_delta_trans_cm: float = 0.05
@@ -194,6 +202,13 @@ class PipelineConfig:
     kf_outlier_cap: int = 1024
     max_loop_edges: int = 128
     nn_query_tile: int = 256                 # query tile for chunked 5-NN
+    nn_exact: bool = False                   # exact top-k vs TPU approx_min_k
+    sector_parallel: bool = True             # pick features in all 6 sectors
+                                             # at once (cross-sector +-5
+                                             # suppression then applies
+                                             # simultaneously rather than
+                                             # sequentially; False = exact
+                                             # reference ordering)
 
     # --- pose graph (replaces gtsam; models/posegraph.py) ---
     pg_gn_iters: int = 8

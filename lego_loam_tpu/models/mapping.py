@@ -212,11 +212,22 @@ def scan_to_map(
     like the reference.  Returns (T, n_constraints_last)."""
     map_gate = (jnp.sum(corner_map_valid) > 10) & (jnp.sum(surf_map_valid) > 100)
 
-    def body(it, carry):
-        T, P, done, n_last = carry
-        (la, lb, c_ok), (pn, pd, s_ok) = _map_residuals(
-            T, corner_pts, corner_ok, surf_pts, surf_ok,
-            corner_map, corner_map_valid, surf_map, surf_map_valid, cfg)
+    def cond(carry):
+        it, T, P, done, n_last, assoc = carry
+        return (it < cfg.map_iters) & ~done & map_gate
+
+    def body(carry):
+        it, T, P, done, n_last, assoc = carry
+        # the search runs inside the cond branch: after map_assoc_iters the
+        # NN/fit work is genuinely skipped, not just masked
+        assoc = jax.lax.cond(
+            it < cfg.map_assoc_iters,
+            lambda a: _map_residuals(
+                T, corner_pts, corner_ok, surf_pts, surf_ok,
+                corner_map, corner_map_valid, surf_map, surf_map_valid, cfg),
+            lambda a: a,
+            assoc)
+        (la, lb, c_ok), (pn, pd, s_ok) = assoc
 
         def f(x):
             w, v = x[:3], x[3:]
@@ -253,19 +264,24 @@ def scan_to_map(
         x = P @ x
 
         n_keep = jnp.sum(keep)
-        apply = (~done) & (n_keep >= cfg.map_min_constraints) & map_gate
+        apply = n_keep >= cfg.map_min_constraints
         T_new = Pose(so3_exp(x[:3]) @ T.R, T.t + x[3:])
         T = jax.tree_util.tree_map(
             lambda a, b: jnp.where(apply, a, b), T_new, T)
         d_rot = jnp.degrees(_safe_norm(x[:3]))
         d_trans = 100.0 * _safe_norm(x[3:])
-        done = done | (apply & (d_rot < cfg.map_delta_rot_deg)
-                       & (d_trans < cfg.map_delta_trans_cm))
-        return T, P, done, n_keep
+        done = apply & (d_rot < cfg.map_delta_rot_deg) \
+            & (d_trans < cfg.map_delta_trans_cm)
+        return it + 1, T, P, done, n_keep, assoc
 
     P0 = jnp.eye(6, dtype=jnp.float32)
-    T, _, _, n_last = jax.lax.fori_loop(
-        0, cfg.map_iters, body, (T0, P0, jnp.bool_(False), jnp.int32(0)))
+    assoc0 = _map_residuals(
+        T0, corner_pts, corner_ok, surf_pts, surf_ok,
+        corner_map, corner_map_valid, surf_map, surf_map_valid, cfg)
+    assoc0 = jax.tree_util.tree_map(jnp.zeros_like, assoc0)
+    _, T, _, _, n_last, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), T0, P0, jnp.bool_(False), jnp.int32(0), assoc0))
     return T, n_last
 
 

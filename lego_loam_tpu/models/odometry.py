@@ -235,15 +235,21 @@ def _phase(rel0, chart, pts, s, make_assoc, make_resid, cfg):
     dof = chart.shape[1]
 
     def outer(o, carry):
-        rel, P, done = carry
+        rel, P, done_prev = carry
         assoc = make_assoc(rel)
+        # a fresh association restarts convergence: a tiny step against bad
+        # correspondences must not freeze later, better-associated rounds
+        done = jnp.bool_(False)
 
         def inner(i, carry):
             rel, P, done = carry
             it = o * cfg.odom_inner_iters + i
             resid_at = make_resid(assoc)
             x, H, n_keep = _gn_iteration(rel, chart, pts, s, resid_at, cfg)
-            P = jnp.where(it == 0,
+            # refresh the projection at the start of every association
+            # round: a projection latched against the seed's (possibly bad)
+            # correspondences must not freeze directions for good ones
+            P = jnp.where(i == 0,
                           _degeneracy_projection(H, cfg.odom_degen_eig_thresh), P)
             x = P @ x
             apply = (~done) & (n_keep >= cfg.odom_min_constraints)
@@ -255,7 +261,9 @@ def _phase(rel0, chart, pts, s, make_assoc, make_resid, cfg):
             done = done | (apply & (d_rot < rot_thr) & (d_trans < trans_thr))
             return rel, P, done
 
-        return jax.lax.fori_loop(0, cfg.odom_inner_iters, inner, (rel, P, done))
+        rel, P, done = jax.lax.fori_loop(
+            0, cfg.odom_inner_iters, inner, (rel, P, done))
+        return rel, P, done
 
     P0 = jnp.eye(dof, dtype=jnp.float32)
     rel, _, _ = jax.lax.fori_loop(

@@ -35,6 +35,8 @@ from lego_loam_tpu.models import loop as lc
 from lego_loam_tpu.models import mapping as mp
 from lego_loam_tpu.models import odometry as odo
 from lego_loam_tpu.models.fusion import fuse_pose
+
+_fuse_jit = jax.jit(fuse_pose)
 from lego_loam_tpu.ops.compaction import segment_scan
 from lego_loam_tpu.ops.features import extract_features
 from lego_loam_tpu.ops.projection import project_scan
@@ -42,21 +44,22 @@ from lego_loam_tpu.utils.math3d import Pose
 
 
 @partial(jax.jit, static_argnames=("cfg", "use_ring"))
-def frontend_step(ostate, xyz, valid, ring, cfg: PipelineConfig,
-                  use_ring: bool):
-    """scan -> features -> odometry pose.  One device program."""
+def frontend_step(ostate, xyz, valid, ring, bef_mapped, aft_mapped,
+                  cfg: PipelineConfig, use_ring: bool):
+    """scan -> features -> odometry pose -> fused pose.  One device
+    program (fusion folded in to save a dispatch round-trip)."""
     img = project_scan(xyz, valid, cfg, ring if use_ring else None)
     packed, o_rel, ground, seg = segment_scan(img, cfg)
     feats = extract_features(packed, o_rel, cfg)
     ostate, opose, rel = odo.odometry_step(ostate, feats, cfg)
-    stats = {
-        "n_valid_px": jnp.sum(img.valid),
-        "n_ground": jnp.sum(ground),
-        "n_segmented": jnp.sum(packed.count),
-        "n_sharp": jnp.sum(feats.sharp.valid),
-        "n_flat": jnp.sum(feats.flat.valid),
-    }
-    return ostate, feats, opose, rel, stats
+    fused = aft_mapped.compose(bef_mapped.inverse().compose(opose))
+    # one packed stats vector: a single host transfer per scan (each
+    # separate int() pull costs a full round-trip on a tunneled device)
+    stats = jnp.stack([
+        jnp.sum(img.valid), jnp.sum(ground), jnp.sum(packed.count),
+        jnp.sum(feats.sharp.valid), jnp.sum(feats.flat.valid),
+    ]).astype(jnp.int32)
+    return ostate, feats, opose, rel, fused, stats
 
 
 @dataclass
@@ -113,8 +116,9 @@ class LegoLoamPipeline:
             seed = imu_mod.odometry_seed(self.ostate.rel, si, cfg.sensor.scan_period)
             self.ostate = self.ostate._replace(rel=seed)
 
-        self.ostate, feats, opose, rel, stats = frontend_step(
-            self.ostate, xyz, valid, ring_arr, cfg, use_ring)
+        self.ostate, feats, opose, rel, fused_fe, stats = frontend_step(
+            self.ostate, xyz, valid, ring_arr,
+            self.mstate.bef_mapped, self.mstate.aft_mapped, cfg, use_ring)
 
         mapped = None
         loop_closed = False
@@ -138,16 +142,19 @@ class LegoLoamPipeline:
                     self.mstate, jnp.float32(t), cfg)
                 loop_closed = bool(res.closed)
 
-        fused = fuse_pose(self.mstate, opose)
-        jax.block_until_ready(fused.t)
+        # if mapping ran this scan, re-fuse against the fresh latch
+        fused = (_fuse_jit(self.mstate, opose) if mapped is not None
+                 else fused_fe)
+        fused_t, stats_v = jax.device_get((fused.t, stats))
         wall_ms = (_time.perf_counter() - t0) * 1e3
 
-        self.trajectory.append(np.asarray(fused.t))
+        self.trajectory.append(np.asarray(fused_t))
         self.frame += 1
+        names = ("n_valid_px", "n_ground", "n_segmented", "n_sharp", "n_flat")
         return FrameResult(
             odom_pose=opose, fused_pose=fused, mapped_pose=mapped,
             loop_closed=loop_closed,
-            stats={k: int(v) for k, v in stats.items()},
+            stats=dict(zip(names, (int(v) for v in stats_v))),
             wall_ms=wall_ms,
         )
 

@@ -91,11 +91,12 @@ def _sector_bounds(count: jnp.ndarray, j: jnp.ndarray, cfg: PipelineConfig):
 
 def _suppress(picked, rows, idx, col, count, enable):
     """Mark idx and its +-5 neighbors picked, stopping at column gaps > 10
-    (featureAssociation.cpp:721-732).  idx: (R,), enable: (R,)."""
+    (featureAssociation.cpp:721-732).  rows/idx/count/enable are flat pick
+    vectors (one entry per simultaneous pick)."""
     W = picked.shape[1]
 
     def colat(i):
-        return jnp.take_along_axis(col, jnp.clip(i, 0, W - 1)[:, None], axis=1)[:, 0]
+        return col[rows, jnp.clip(i, 0, W - 1)]
 
     picked = picked.at[rows, idx].max(enable)
     ok = enable
@@ -128,49 +129,68 @@ def label_features(packed: SegmentedScan, cfg: PipelineConfig):
     corner_base = base & (curv > cfg.edge_threshold) & ~packed.ground
     surf_base = base & (curv < cfg.surf_threshold) & packed.ground
 
-    def sector_body(j, state):
-        labels, picked = state
-        sp, ep, sec_ok = _sector_bounds(packed.count, j, cfg)
-        in_sec = (idxs >= sp[:, None]) & (idxs <= ep[:, None]) & sec_ok[:, None]
+    S = cfg.sections_total
+    # (S,) sector bounds per ring: (R, S) each
+    j_all = jnp.arange(S, dtype=jnp.int32)
+    sp_all, ep_all, ok_all = jax.vmap(
+        lambda j: _sector_bounds(packed.count, j, cfg), out_axes=1)(j_all)
+    in_sec_all = (
+        (idxs[:, None, :] >= sp_all[:, :, None])
+        & (idxs[:, None, :] <= ep_all[:, :, None])
+        & ok_all[:, :, None]
+    )  # (R, S, W)
 
-        def corner_pick(k, st):
+    def picks_for(sector_mask, n_sectors, labels, picked, base_mask, sign,
+                  n_picks, label_of, suppress_last):
+        """Iterated argmax picks over (R, n_sectors, W) eligibility."""
+        rows_v = jnp.repeat(rows, n_sectors)
+        count_v = jnp.repeat(packed.count, n_sectors)
+
+        def pick(k, st):
             labels, picked = st
-            elig = corner_base & in_sec & ~picked
-            score = jnp.where(elig, curv, _NEG_INF)
-            idx = jnp.argmax(score, axis=1).astype(jnp.int32)
-            has = jnp.any(elig, axis=1)
-            lab = jnp.where(k < cfg.edge_feature_num, 2, 1)
-            cur = labels[rows, idx]
-            labels = labels.at[rows, idx].set(jnp.where(has, lab, cur))
-            picked = _suppress(picked, rows, idx, packed.col, packed.count, has)
+            elig = base_mask[:, None, :] & sector_mask & ~picked[:, None, :]
+            score = jnp.where(elig, sign * curv[:, None, :], _NEG_INF)
+            idx = jnp.argmax(score, axis=2).astype(jnp.int32)   # (R, S')
+            has = jnp.any(elig, axis=2)                          # (R, S')
+            lab = label_of(k)
+            idx_v = idx.reshape(-1)
+            has_v = has.reshape(-1)
+            cur = labels[rows_v, idx_v]
+            labels = labels.at[rows_v, idx_v].set(jnp.where(has_v, lab, cur))
+            sup = has_v & (suppress_last | (k < n_picks - 1))
+            picked = _suppress(picked, rows_v, idx_v, packed.col, count_v, sup)
             return labels, picked
 
-        labels, picked = jax.lax.fori_loop(
-            0, cfg.edge_feature_num_less, corner_pick, (labels, picked)
-        )
-
-        def surf_pick(k, st):
-            labels, picked = st
-            elig = surf_base & in_sec & ~picked
-            score = jnp.where(elig, -curv, _NEG_INF)
-            idx = jnp.argmax(score, axis=1).astype(jnp.int32)
-            has = jnp.any(elig, axis=1)
-            cur = labels[rows, idx]
-            labels = labels.at[rows, idx].set(jnp.where(has, -1, cur))
-            # the reference breaks before suppressing its 4th flat pick
-            suppress = has & (k < cfg.surf_feature_num - 1)
-            picked = _suppress(picked, rows, idx, packed.col, packed.count, suppress)
-            return labels, picked
-
-        labels, picked = jax.lax.fori_loop(
-            0, cfg.surf_feature_num, surf_pick, (labels, picked)
-        )
-        return labels, picked
+        return jax.lax.fori_loop(0, n_picks, pick, (labels, picked))
 
     labels0 = jnp.zeros((R, W), jnp.int32)
-    labels, picked = jax.lax.fori_loop(
-        0, cfg.sections_total, sector_body, (labels0, picked0)
-    )
+
+    if cfg.sector_parallel:
+        # all sectors pick simultaneously: 24 sequential steps instead of 144
+        labels, picked = picks_for(
+            in_sec_all, S, labels0, picked0, corner_base, 1.0,
+            cfg.edge_feature_num_less,
+            lambda k: jnp.where(k < cfg.edge_feature_num, 2, 1), True)
+        labels, picked = picks_for(
+            in_sec_all, S, labels, picked, surf_base, -1.0,
+            cfg.surf_feature_num, lambda k: -1, False)
+    else:
+        # exact reference ordering: sectors sequential, corner pass then
+        # surf pass per sector
+        def sector_body(j, st):
+            labels, picked = st
+            mask = jax.lax.dynamic_slice_in_dim(in_sec_all, j, 1, axis=1)
+            labels, picked = picks_for(
+                mask, 1, labels, picked, corner_base, 1.0,
+                cfg.edge_feature_num_less,
+                lambda k: jnp.where(k < cfg.edge_feature_num, 2, 1), True)
+            labels, picked = picks_for(
+                mask, 1, labels, picked, surf_base, -1.0,
+                cfg.surf_feature_num, lambda k: -1, False)
+            return labels, picked
+
+        labels, picked = jax.lax.fori_loop(
+            0, S, sector_body, (labels0, picked0))
     return labels, picked
 
 

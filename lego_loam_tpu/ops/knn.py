@@ -35,7 +35,21 @@ def masked_argmin(d2: jnp.ndarray, mask: jnp.ndarray | None = None):
     return idx, val
 
 
-def knn(query, ref, ref_valid, k: int, query_tile: int = 0):
+def _topk_neg(d2, k: int, exact: bool):
+    """Smallest-k along the last axis.  The approximate path uses the
+    TPU-optimized partial-reduction kernel (jax.lax.approx_min_k), ~10x
+    faster than full top_k at >0.95 recall — a missed true neighbor only
+    swaps one of five nearly-equidistant map points, which the robust
+    weights absorb."""
+    if exact:
+        nd2, nidx = jax.lax.top_k(-d2, k)
+        return nidx.astype(jnp.int32), -nd2
+    vals, idx = jax.lax.approx_min_k(d2, k, recall_target=0.95)
+    return idx.astype(jnp.int32), vals
+
+
+def knn(query, ref, ref_valid, k: int, query_tile: int = 0,
+        exact: bool = True):
     """k nearest neighbors per query point.
 
     Returns (idx (Q, k) int32, d2 (Q, k) float32), ascending by distance.
@@ -47,12 +61,10 @@ def knn(query, ref, ref_valid, k: int, query_tile: int = 0):
 
         def tile(qt):
             d2 = sq_dist_matrix(qt, ref, ref_valid)
-            nd2, nidx = jax.lax.top_k(-d2, k)
-            return nidx.astype(jnp.int32), -nd2
+            return _topk_neg(d2, k, exact)
 
         idx, d2 = jax.lax.map(tile, q)
         return idx.reshape(-1, k), d2.reshape(-1, k)
 
     d2 = sq_dist_matrix(query, ref, ref_valid)
-    nd2, nidx = jax.lax.top_k(-d2, k)
-    return nidx.astype(jnp.int32), -nd2
+    return _topk_neg(d2, k, exact)

@@ -19,7 +19,8 @@ from lego_loam_tpu.ops.voxel import voxel_downsample
 
 from tests import oracle_features as ofeat
 
-CFG = config_for("vlp16")
+# the oracle mirrors the reference's sequential sector ordering
+CFG = config_for("vlp16", sector_parallel=False)
 
 
 @pytest.fixture(scope="module")
