@@ -48,13 +48,15 @@ def main() -> None:
             jnp.asarray(ring, jnp.int32),
         ))
 
-    pipe = LegoLoamPipeline(cfg)
+    pipe = LegoLoamPipeline(cfg, collect_stats=False)
     for k in range(n_warm):
         pipe.process_scan(*scans[k])
+    jax.block_until_ready(pipe.trajectory[-1])
 
     t0 = time.perf_counter()
     for k in range(n_warm, n_warm + n_meas):
-        pipe.process_scan(*scans[k])
+        res = pipe.process_scan(*scans[k])
+    jax.block_until_ready(res.fused_pose.t)
     dt = time.perf_counter() - t0
 
     fps = n_meas / dt

@@ -79,6 +79,11 @@ class LegoLoamPipeline:
 
     cfg: PipelineConfig
     loop_check_every: int = 10
+    collect_stats: bool = True   # False = skip the per-scan host transfer
+                                 # (poses stay on device; JAX async dispatch
+                                 # then pipelines scan k+1's front-end with
+                                 # scan k's back-end — the reference's P1
+                                 # software pipelining, for free)
 
     def __post_init__(self):
         self.ostate = odo.init_state(self.cfg)
@@ -145,16 +150,22 @@ class LegoLoamPipeline:
         # if mapping ran this scan, re-fuse against the fresh latch
         fused = (_fuse_jit(self.mstate, opose) if mapped is not None
                  else fused_fe)
-        fused_t, stats_v = jax.device_get((fused.t, stats))
+        if self.collect_stats:
+            fused_t, stats_v = jax.device_get((fused.t, stats))
+            self.trajectory.append(np.asarray(fused_t))
+            names = ("n_valid_px", "n_ground", "n_segmented", "n_sharp",
+                     "n_flat")
+            stats_d = dict(zip(names, (int(v) for v in stats_v)))
+        else:
+            self.trajectory.append(fused.t)  # device array; fetch lazily
+            stats_d = {}
         wall_ms = (_time.perf_counter() - t0) * 1e3
 
-        self.trajectory.append(np.asarray(fused_t))
         self.frame += 1
-        names = ("n_valid_px", "n_ground", "n_segmented", "n_sharp", "n_flat")
         return FrameResult(
             odom_pose=opose, fused_pose=fused, mapped_pose=mapped,
             loop_closed=loop_closed,
-            stats=dict(zip(names, (int(v) for v in stats_v))),
+            stats=stats_d,
             wall_ms=wall_ms,
         )
 
