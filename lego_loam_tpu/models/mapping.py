@@ -105,7 +105,7 @@ def _gather_local_map(state: MappingState, center: jnp.ndarray, cfg: PipelineCon
     """Top-k nearest in-radius keyframes -> transformed, downsampled map
     clouds.  Returns (corner_map, corner_valid, surf_map, surf_valid)."""
     K = cfg.max_keyframes
-    S = cfg.surrounding_keyframe_search_num
+    S = min(cfg.surrounding_keyframe_search_num, K)
     idx_all = jnp.arange(K)
     alive = idx_all < state.n_kf
     d2 = jnp.sum((state.kf_t - center) ** 2, axis=1)
