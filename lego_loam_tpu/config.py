@@ -98,6 +98,9 @@ class PipelineConfig:
     segment_big_cluster: int = 30            # >=30 px is always a valid cluster
     ground_angle_thresh_deg: float = 10.0    # imageProjection.cpp:286
     label_prop_max_sweeps: int = 64          # CCL sweep budget (new; see ops/segmentation.py)
+    segmentation_backend: str = "auto"       # "auto" = Pallas kernel on TPU,
+                                             # XLA scans elsewhere; or force
+                                             # "pallas" / "xla"
 
     # --- features (utility.h:120-125, featureAssociation.cpp:621-784) ---
     edge_threshold: float = 0.1

@@ -110,6 +110,19 @@ def label_components(
     conn_up = jnp.concatenate([jnp.zeros((1, H), bool), edge_v[:-1]], axis=0)
     conn_down = edge_v
 
+    backend = cfg.segmentation_backend
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu")
+    if use_pallas:
+        from lego_loam_tpu.ops.segmentation_pallas import (
+            propagate_labels_pallas,
+        )
+
+        labels = propagate_labels_pallas(
+            labels0, conn_left, edge_h, conn_up, conn_down,
+            max_sweeps=cfg.label_prop_max_sweeps)
+        return _finalize(labels, seg, R, H, big, cfg)
+
     def sweep(labels):
         # 4-neighbor min (includes the column wraparound via roll).
         n = jnp.minimum(
@@ -148,8 +161,12 @@ def label_components(
     labels, _, _ = jax.lax.while_loop(
         cond, body, (labels0, jnp.bool_(True), jnp.int32(0))
     )
+    return _finalize(labels, seg, R, H, big, cfg)
 
-    # Component statistics via scatter reductions (invalid pixels hit slot R*H).
+
+def _finalize(labels, seg, R, H, big, cfg) -> Segmentation:
+    """Component statistics via scatter reductions + validity rules
+    (invalid pixels hit slot R*H)."""
     flat = jnp.where(seg, labels, big).reshape(-1)
     ones = seg.reshape(-1).astype(jnp.int32)
     counts = jnp.zeros((R * H + 1,), jnp.int32).at[flat].add(ones)

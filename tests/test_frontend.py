@@ -153,3 +153,27 @@ def test_segment_scan_jits(img):
     packed, o_rel, ground, seg = f(img)
     assert packed.xyz.shape == (CFG.sensor.n_scan, CFG.sensor.horizon_scan, 3)
     assert np.asarray(packed.count).sum() > 3000
+
+
+def test_pallas_segmentation_matches_xla(img):
+    """The Pallas label-propagation kernel (interpret mode on CPU) must give
+    bit-identical labels to the XLA scan path."""
+    import jax.numpy as jnp
+
+    from lego_loam_tpu.ops.segmentation import build_edges
+    from lego_loam_tpu.ops.segmentation_pallas import propagate_labels_pallas
+
+    ground = mark_ground(img, CFG)
+    edges = build_edges(img, ground, CFG)
+    seg_xla = label_components(img, ground, CFG, edges=edges)
+
+    seg, edge_h, edge_v = edges
+    R, H = seg.shape
+    big = jnp.int32(R * H)
+    labels0 = jnp.where(seg, jnp.arange(R * H, dtype=jnp.int32).reshape(R, H), big)
+    conn_left = jnp.roll(edge_h, 1, axis=1)
+    conn_up = jnp.concatenate([jnp.zeros((1, H), bool), edge_v[:-1]], axis=0)
+    lab = propagate_labels_pallas(labels0, conn_left, edge_h, conn_up, edge_v,
+                                  CFG.label_prop_max_sweeps, interpret=True)
+    lab = jnp.where(seg, lab, -1)
+    np.testing.assert_array_equal(np.asarray(lab), np.asarray(seg_xla.labels))
