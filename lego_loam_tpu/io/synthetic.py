@@ -71,31 +71,14 @@ def ray_directions(sensor: SensorSpec) -> np.ndarray:
     return np.stack([ce * ca, ce * sa, np.broadcast_to(se, (R, H))], axis=-1)
 
 
-def raycast(
-    world: World,
-    R_pose: np.ndarray,
-    t_pose: np.ndarray,
-    sensor: SensorSpec,
-    noise: float = 0.0,
-    rng: np.random.Generator | None = None,
-):
-    """Cast one scan from pose (R_pose, t_pose).
-
-    Returns (xyz (n_scan*horizon_scan, 3) float32 in sensor frame, valid
-    (same,) bool, ring (same,) int32).  Rays that hit nothing (or outside
-    [min_range, max_range]) are invalid.
-    """
-    Rg, H = sensor.n_scan, sensor.horizon_scan
-    d_sensor = ray_directions(sensor).reshape(-1, 3)
-    d = d_sensor @ R_pose.T
-    o = np.asarray(t_pose, np.float64)
-
+def _trace(world: World, o: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Nearest-hit ray parameter for per-ray origins o and directions d."""
     s_best = np.full(d.shape[0], np.inf)
 
     # ground plane
     dz = d[:, 2]
     with np.errstate(divide="ignore", invalid="ignore"):
-        s = (world.ground_z - o[2]) / dz
+        s = (world.ground_z - o[:, 2]) / dz
     hit = (dz < -1e-9) & (s > 0)
     s_best = np.where(hit & (s < s_best), s, s_best)
 
@@ -113,7 +96,7 @@ def raycast(
     # vertical cylinders
     for c in world.cylinders:
         cx, cy, rad, h = c
-        ox, oy = o[0] - cx, o[1] - cy
+        ox, oy = o[:, 0] - cx, o[:, 1] - cy
         a = d[:, 0] ** 2 + d[:, 1] ** 2
         bq = 2 * (ox * d[:, 0] + oy * d[:, 1])
         cq = ox * ox + oy * oy - rad * rad
@@ -121,10 +104,31 @@ def raycast(
         ok = (disc > 0) & (a > 1e-12)
         sq = np.sqrt(np.maximum(disc, 0.0))
         s = (-bq - sq) / np.maximum(2 * a, 1e-12)
-        z = o[2] + s * d[:, 2]
+        z = o[:, 2] + s * d[:, 2]
         hit = ok & (s > 1e-6) & (z >= world.ground_z) & (z <= world.ground_z + h)
         s_best = np.where(hit & (s < s_best), s, s_best)
+    return s_best
 
+
+def raycast(
+    world: World,
+    R_pose: np.ndarray,
+    t_pose: np.ndarray,
+    sensor: SensorSpec,
+    noise: float = 0.0,
+    rng: np.random.Generator | None = None,
+):
+    """Cast one scan from pose (R_pose, t_pose).
+
+    Returns (xyz (n_scan*horizon_scan, 3) float32 in sensor frame, valid
+    (same,) bool, ring (same,) int32).  Rays that hit nothing (or outside
+    [min_range, max_range]) are invalid.
+    """
+    Rg, H = sensor.n_scan, sensor.horizon_scan
+    d_sensor = ray_directions(sensor).reshape(-1, 3)
+    d = d_sensor @ R_pose.T
+    o = np.broadcast_to(np.asarray(t_pose, np.float64), d.shape)
+    s_best = _trace(world, o, d)
     valid = np.isfinite(s_best) & (s_best >= sensor.min_range) & (s_best <= sensor.max_range)
     if noise > 0.0:
         rng = rng or np.random.default_rng(0)
@@ -133,6 +137,64 @@ def raycast(
     xyz = (s_best[:, None] * d_sensor).astype(np.float32)
     ring = np.repeat(np.arange(Rg, dtype=np.int32), H)
     return xyz, valid, ring
+
+
+def raycast_swept(
+    world: World,
+    R0: np.ndarray, t0: np.ndarray,
+    R1: np.ndarray, t1: np.ndarray,
+    sensor: SensorSpec,
+    noise: float = 0.0,
+    rng: np.random.Generator | None = None,
+):
+    """Cast one motion-distorted sweep: the sensor moves from (R0, t0) at
+    sweep start to (R1, t1) at sweep end, and each column is cast from the
+    interpolated pose at its sweep time.
+
+    The per-column time matches ops/projection.pixel_rel_time's recovery:
+    column 0 is scanned first (s=0) and time runs with azimuth decreasing
+    (clockwise rotation), so s(c) = 1 - c/H for c >= 1.
+
+    Returns (xyz, valid, ring) like raycast: each point is reported in the
+    sensor frame at its own sample time — i.e. raw distorted data.
+    """
+    Rg, H = sensor.n_scan, sensor.horizon_scan
+    # firing order (time-major, like a real Velodyne stream): emission step k
+    # fires all rings of one azimuth column; the head rotates clockwise, so
+    # the column at step k is (H - k) mod H and the projection's first/last-
+    # point orientation logic recovers s(c) = ((H - c) mod H) / H exactly.
+    k = np.arange(H)
+    cols = (H - k) % H
+    s_frac = k / H
+    poses_R = np.stack([_slerp(R0, R1, u) for u in s_frac])  # (H, 3, 3)
+    poses_t = t0[None, :] + s_frac[:, None] * (t1 - t0)[None, :]
+
+    d_sensor = ray_directions(sensor)[:, cols]            # (Rg, H, 3), k-order
+    d_world = np.einsum("hij,rhj->rhi", poses_R, d_sensor)
+    d_world = np.swapaxes(d_world, 0, 1).reshape(-1, 3)   # (H*Rg, 3), k-major
+    o = np.broadcast_to(poses_t[:, None], (H, Rg, 3)).reshape(-1, 3)
+
+    s_best = _trace(world, o, d_world)
+    valid = (np.isfinite(s_best) & (s_best >= sensor.min_range)
+             & (s_best <= sensor.max_range))
+    if noise > 0.0:
+        rng = rng or np.random.default_rng(0)
+        s_best = s_best + rng.normal(0.0, noise, s_best.shape) * valid
+    s_best = np.where(valid, s_best, 0.0)
+    d_body = np.swapaxes(d_sensor, 0, 1).reshape(-1, 3)   # instantaneous frame
+    xyz = (s_best[:, None] * d_body).astype(np.float32)
+    ring = np.tile(np.arange(Rg, dtype=np.int32), H)
+    return xyz, valid, ring
+
+
+def _slerp(R0, R1, u):
+    """Geodesic rotation interpolation in NumPy (host-side)."""
+    import jax.numpy as jnp
+
+    from lego_loam_tpu.utils.math3d import so3_exp, so3_log
+
+    w = np.asarray(so3_log(jnp.asarray(R0.T @ R1, np.float32)))
+    return R0 @ np.asarray(so3_exp(jnp.asarray(u * w, np.float32)))
 
 
 def circle_trajectory(n: int, radius: float = 12.0, height: float = 1.6,

@@ -185,8 +185,18 @@ def _gn_iteration(rel, chart, pts, s, resid_at, cfg):
     d0, (qn, ok) = f(x0)
     J = jax.jacfwd(f, has_aux=True)(x0)[0]
 
-    # Huber weights: full weight for |d| <= delta*qn, bounded influence above
-    w = jnp.minimum(1.0, cfg.odom_robust_delta * qn / jnp.maximum(jnp.abs(d0), 1e-9))
+    # Huber weights with a median-adaptive width: at large seed error every
+    # residual exceeds a fixed delta and a hard cutoff would empty the
+    # constraint set (no step, permanent stall).  Scaling the width with the
+    # masked median residual keeps the bulk of constraints active and
+    # tightens back to odom_robust_delta as the solve converges.
+    absd = jnp.abs(d0)
+    n_ok = jnp.sum(ok)
+    sorted_d = jnp.sort(jnp.where(ok, absd, jnp.inf))
+    med = sorted_d[jnp.maximum(n_ok - 1, 0) // 2]
+    med = jnp.where(jnp.isfinite(med), med, 0.0)
+    delta = jnp.maximum(cfg.odom_robust_delta * qn, 0.7 * med)
+    w = jnp.minimum(1.0, delta / jnp.maximum(absd, 1e-9))
     keep = ok & (w > 0.1) & jnp.isfinite(d0)
     wk = jnp.where(keep, w, 0.0)
 
