@@ -22,7 +22,7 @@ def _flatten(pipeline):
     tree = {
         "ostate": pipeline.ostate,
         "mstate": pipeline.mstate,
-        "imu_buf": pipeline.imu_buf,
+        "imu_buf": pipeline.imu_host.state(),
     }
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     return leaves, treedef
@@ -65,7 +65,7 @@ def load_checkpoint(pipeline, path: str) -> None:
     tree = jax.tree_util.tree_unflatten(treedef, new_leaves)
     pipeline.ostate = tree["ostate"]
     pipeline.mstate = tree["mstate"]
-    pipeline.imu_buf = tree["imu_buf"]
+    pipeline.imu_host.load_state(tree["imu_buf"])
     pipeline.frame = int(meta["frame"])
     pipeline.imu_used = bool(meta["imu_used"])
     pipeline.trajectory = [t for t in data["trajectory"]]

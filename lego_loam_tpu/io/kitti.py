@@ -28,14 +28,14 @@ def read_bin(path: str) -> np.ndarray:
     return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
 
 
-def pad_scan(pts: np.ndarray, cfg: PipelineConfig):
-    """(N, >=3) -> fixed-shape (P, 3) xyz + valid for the pipeline.
+def pad_scan(pts: np.ndarray, cfg: PipelineConfig, cap: int | None = None):
+    """(N, >=3) -> fixed-shape (cap, 3) xyz + valid for the pipeline.
 
-    P = n_scan * horizon_scan; scans larger than that are truncated
-    deterministically (keep-first), which does not occur for HDL-64E at the
-    default 64x1800 grid.
+    The projection scatter accepts any input length, so the cap defaults to
+    max(grid size, 2^17 = 131072) — above real HDL-64E scan sizes (~120-130k
+    points), which exceed the 64x1800 grid itself.
     """
-    P = cfg.sensor.n_scan * cfg.sensor.horizon_scan
+    P = cap or max(cfg.sensor.n_scan * cfg.sensor.horizon_scan, 1 << 17)
     xyz = pts[:, :3].astype(np.float32)
     finite = np.isfinite(xyz).all(axis=1)
     xyz = np.where(finite[:, None], xyz, 0.0)

@@ -194,3 +194,84 @@ def blend_attitude(T: Pose, buf: ImuBuffer, t, cfg: PipelineConfig) -> Pose:
     roll = jnp.where(valid, (1 - w) * roll + w * ir, roll)
     pitch = jnp.where(valid, (1 - w) * pitch + w * ip, pitch)
     return Pose(euler_to_mat(roll, pitch, yaw), T.t)
+
+
+class HostImuBuffer:
+    """Host-side ring buffer with the same integration semantics as
+    imu_push, updated in NumPy.
+
+    IMU samples arrive at 100-200 Hz; pushing each through a jitted device
+    program costs a dispatch round-trip per sample (ruinous on tunneled
+    devices, ~20 dispatches per scan).  The reference integrates on the CPU
+    too (featureAssociation.cpp:392-459); the buffer uploads to the device
+    once per scan via to_device().
+    """
+
+    def __init__(self, cfg: PipelineConfig):
+        import numpy as np
+
+        self._np = np
+        self.cfg = cfg
+        self.time = np.full((QUE_LEN,), -np.inf, np.float32)
+        self.att = np.tile(np.eye(3, dtype=np.float32), (QUE_LEN, 1, 1))
+        self.velo = np.zeros((QUE_LEN, 3), np.float32)
+        self.shift = np.zeros((QUE_LEN, 3), np.float32)
+        self.ang = np.zeros((QUE_LEN, 3), np.float32)
+        self.ptr = QUE_LEN - 1
+        self.count = 0
+        self._device = None  # cached ImuBuffer, invalidated on push
+
+    def push(self, t, att_R, acc_body, gyro) -> None:
+        np = self._np
+        att_R = np.asarray(att_R, np.float32)
+        acc_w = att_R @ np.asarray(acc_body, np.float32) \
+            - np.array([0.0, 0.0, GRAVITY], np.float32)
+        prev = self.ptr
+        dt = float(t) - float(self.time[prev])
+        ok = (0.0 < dt < self.cfg.sensor.scan_period) and self.count > 0
+        dtc = dt if ok else 0.0
+
+        slot = (self.ptr + 1) % QUE_LEN
+        self.shift[slot] = (self.shift[prev] + self.velo[prev] * dtc
+                            + 0.5 * acc_w * dtc * dtc)
+        self.velo[slot] = self.velo[prev] + acc_w * dtc
+        self.ang[slot] = self.ang[prev] + np.asarray(gyro, np.float32) * dtc
+        self.time[slot] = t
+        self.att[slot] = att_R
+        self.ptr = slot
+        self.count = min(self.count + 1, QUE_LEN)
+        self._device = None
+
+    def to_device(self) -> ImuBuffer:
+        if self._device is None:
+            self._device = ImuBuffer(
+                time=jnp.asarray(self.time),
+                att=jnp.asarray(self.att),
+                velo=jnp.asarray(self.velo),
+                shift=jnp.asarray(self.shift),
+                ang=jnp.asarray(self.ang),
+                ptr=jnp.int32(self.ptr),
+                count=jnp.int32(self.count),
+            )
+        return self._device
+
+    # ---- checkpoint support ----
+
+    def state(self) -> ImuBuffer:
+        import numpy as np
+
+        return ImuBuffer(self.time, self.att, self.velo, self.shift,
+                         self.ang, np.asarray(self.ptr, np.int32),
+                         np.asarray(self.count, np.int32))
+
+    def load_state(self, s: ImuBuffer) -> None:
+        import numpy as np
+
+        self.time = np.asarray(s.time, np.float32).copy()
+        self.att = np.asarray(s.att, np.float32).copy()
+        self.velo = np.asarray(s.velo, np.float32).copy()
+        self.shift = np.asarray(s.shift, np.float32).copy()
+        self.ang = np.asarray(s.ang, np.float32).copy()
+        self.ptr = int(s.ptr)
+        self.count = int(s.count)
+        self._device = None

@@ -292,10 +292,16 @@ def mapping_step(
     odom_pose: Pose,
     time: jnp.ndarray,
     cfg: PipelineConfig,
+    imu_buf=None,
 ):
     """One mapping solve.  feats are the odometry's reference clouds for this
     sweep (less-sharp / less-flat at the sweep end, plus outliers) — what the
     reference's featureAssociation publishes to mapOptimization.
+
+    If imu_buf is given, the IMU roll/pitch blend is applied BEFORE keyframe
+    insertion, like the reference's transformUpdate -> saveKeyFramesAndFactor
+    ordering (mapOptmization.cpp:1348, 1353) — so stored poses and chain
+    measurements see the blended pose.
 
     Returns (new_state, mapped_pose).
     """
@@ -317,6 +323,11 @@ def mapping_step(
     T, n_constraints = scan_to_map(
         T_pred, corner_pts, corner_ok, surf_pts, surf_ok,
         corner_map, corner_map_valid, surf_map, surf_map_valid, cfg)
+
+    if imu_buf is not None:
+        from lego_loam_tpu.models.imu import blend_attitude
+
+        T = blend_attitude(T, imu_buf, time, cfg)
 
     # keyframe insertion (mapOptmization.cpp:1353-1454)
     has_kf = state.n_kf > 0
@@ -359,3 +370,64 @@ def mapping_step(
         aft_mapped=T,
     )
     return new_state, T
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def compact_keyframes(state: MappingState, cfg: PipelineConfig) -> MappingState:
+    """Thin the pool when it approaches capacity: keep every 2nd keyframe of
+    the older half [0, n_kf/2) and all of the newer half.
+
+    Without this, insertion stops at max_keyframes and — once the vehicle
+    leaves the surrounding-search radius of the frozen map — the back-end
+    silently degrades to raw odometry.  Thinning halves distant-history
+    density (mapping quality there is already bounded by the 50 m local-map
+    radius) while keeping loop-closure anchors.  Chain measurements are
+    recomputed from the retained optimized poses; loop edges are remapped
+    and edges referencing a thinned keyframe are dropped.
+    """
+    K = cfg.max_keyframes
+    L = cfg.max_loop_edges
+    idx = jnp.arange(K)
+    half = state.n_kf // 2
+    keep = (idx < state.n_kf) & ((idx >= half) | (idx % 2 == 0))
+    new_pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    n_new = jnp.sum(keep)
+
+    order = jnp.argsort(jnp.where(keep, idx, K + idx))  # kept first, in order
+
+    def g(a):
+        return a[order]
+
+    kf_R, kf_t = g(state.kf_R), g(state.kf_t)
+
+    # chain measurements between retained neighbors, from optimized poses
+    Rp = jnp.roll(kf_R, 1, axis=0)
+    tp = jnp.roll(kf_t, 1, axis=0)
+    meas_R = jnp.swapaxes(Rp, -1, -2) @ kf_R
+    meas_t = jnp.einsum("kij,kj->ki", jnp.swapaxes(Rp, -1, -2), kf_t - tp)
+    meas_R = meas_R.at[0].set(jnp.eye(3, dtype=jnp.float32))
+    meas_t = meas_t.at[0].set(0.0)
+
+    # loop edges: remap indices, drop edges that lost an endpoint
+    le = jnp.arange(L)
+    ok_edge = (le < state.n_loops) & keep[state.loop_i] & keep[state.loop_j]
+    lorder = jnp.argsort(jnp.where(ok_edge, le, L + le))
+
+    def gl(a):
+        return a[lorder]
+
+    return state._replace(
+        kf_R=kf_R, kf_t=kf_t,
+        kf_corner=g(state.kf_corner), kf_corner_valid=g(state.kf_corner_valid),
+        kf_surf=g(state.kf_surf), kf_surf_valid=g(state.kf_surf_valid),
+        kf_outlier=g(state.kf_outlier),
+        kf_outlier_valid=g(state.kf_outlier_valid),
+        kf_time=g(state.kf_time),
+        kf_meas_R=meas_R, kf_meas_t=meas_t,
+        n_kf=n_new,
+        loop_i=gl(new_pos[state.loop_i]),
+        loop_j=gl(new_pos[state.loop_j]),
+        loop_R=gl(state.loop_R), loop_t=gl(state.loop_t),
+        loop_w=gl(jnp.where(ok_edge, state.loop_w, 0.0)),
+        n_loops=jnp.sum(ok_edge),
+    )

@@ -22,7 +22,7 @@ No drops, no stamp gates, no mutexes: the host loop is the only writer.
 from __future__ import annotations
 
 import time as _time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 
 import jax
@@ -88,7 +88,7 @@ class LegoLoamPipeline:
     def __post_init__(self):
         self.ostate = odo.init_state(self.cfg)
         self.mstate = mp.init_state(self.cfg)
-        self.imu_buf = imu_mod.init_buffer()
+        self.imu_host = imu_mod.HostImuBuffer(self.cfg)
         self.imu_used = False
         self.frame = 0
         self.trajectory: list[np.ndarray] = []
@@ -97,11 +97,9 @@ class LegoLoamPipeline:
     def push_imu(self, t, att_R, acc_body, gyro) -> None:
         """Ingest a 9-DOF IMU sample (attitude matrix, specific force,
         angular rate) — the reference's imuHandler
-        (featureAssociation.cpp:431-459)."""
-        self.imu_buf = imu_mod.imu_push(
-            self.imu_buf, jnp.float32(t), jnp.asarray(att_R, jnp.float32),
-            jnp.asarray(acc_body, jnp.float32), jnp.asarray(gyro, jnp.float32),
-            self.cfg)
+        (featureAssociation.cpp:431-459).  Host-side; uploaded to the
+        device once per scan."""
+        self.imu_host.push(t, att_R, acc_body, gyro)
         self.imu_used = True
 
     def process_scan(self, xyz, valid, ring=None, t: float | None = None
@@ -111,13 +109,18 @@ class LegoLoamPipeline:
         t0 = _time.perf_counter()
 
         use_ring = cfg.sensor.use_ring
+        if use_ring and ring is None:
+            raise ValueError(
+                f"sensor {cfg.sensor.name} expects a ring channel; pass "
+                "ring= or use an elevation-math preset (use_ring=False)")
         xyz = jnp.asarray(xyz, jnp.float32)
         valid = jnp.asarray(valid)
         ring_arr = (jnp.asarray(ring, jnp.int32) if ring is not None
                     else jnp.zeros(xyz.shape[0], jnp.int32))
 
         if self.imu_used:
-            si = imu_mod.scan_imu(self.imu_buf, jnp.float32(t), cfg)
+            imu_dev = self.imu_host.to_device()
+            si = imu_mod.scan_imu(imu_dev, jnp.float32(t), cfg)
             seed = imu_mod.odometry_seed(self.ostate.rel, si, cfg.sensor.scan_period)
             self.ostate = self.ostate._replace(rel=seed)
 
@@ -128,24 +131,28 @@ class LegoLoamPipeline:
         mapped = None
         loop_closed = False
         if self.frame % cfg.mapping_process_every == 0:
+            # thin the keyframe pool before it saturates (checked rarely:
+            # the n_kf pull is a host round-trip)
+            if (self.frame % (32 * cfg.mapping_process_every) == 0
+                    and int(self.mstate.n_kf) >= cfg.max_keyframes - 40):
+                self.mstate = mp.compact_keyframes(self.mstate, cfg)
             mfeats = feats._replace(
                 less_sharp=self.ostate.ref_corner,
                 less_flat=self.ostate.ref_surf)
             self.mstate, mpose = mp.mapping_step(
-                self.mstate, mfeats, opose, jnp.float32(t), cfg)
-            if self.imu_used:
-                mpose = imu_mod.blend_attitude(mpose, self.imu_buf,
-                                               jnp.float32(t), cfg)
-                self.mstate = self.mstate._replace(aft_mapped=mpose)
+                self.mstate, mfeats, opose, jnp.float32(t), cfg,
+                imu_buf=self.imu_host.to_device() if self.imu_used else None)
             mapped = mpose
             self.last_mapped = mpose
 
-            if (cfg.loop_closure_enabled
-                    and self.frame % self.loop_check_every == 0
-                    and int(self.mstate.n_kf) > 2):
-                self.mstate, res = lc.loop_closure_step(
-                    self.mstate, jnp.float32(t), cfg)
-                loop_closed = bool(res.closed)
+        # loop-closure cadence is independent of the mapping cadence
+        # (the reference's 1 Hz thread analog)
+        if (cfg.loop_closure_enabled
+                and self.frame % self.loop_check_every == 0
+                and int(self.mstate.n_kf) > 2):
+            self.mstate, res = lc.loop_closure_step(
+                self.mstate, jnp.float32(t), cfg)
+            loop_closed = bool(res.closed)
 
         # if mapping ran this scan, re-fuse against the fresh latch
         fused = (_fuse_jit(self.mstate, opose) if mapped is not None

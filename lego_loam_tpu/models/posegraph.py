@@ -143,9 +143,8 @@ def solve_pose_graph(state: MappingState, cfg: PipelineConfig) -> MappingState:
             return graph_residuals(R2, t2, state, cfg).reshape(-1)
 
         x0 = jnp.zeros((K * 6,), jnp.float32)
-        r0 = r_of(x0)
-        _, jvp_fn = jax.linearize(r_of, x0)
-        vjp_fn = jax.vjp(r_of, x0)[1]
+        r0, jvp_fn = jax.linearize(r_of, x0)
+        vjp_fn = jax.linear_transpose(jvp_fn, x0)
 
         def matvec(v):
             return vjp_fn(jvp_fn(v))[0] + 1e-8 * v

@@ -60,6 +60,9 @@ def icp_align(
     q = src @ T.R.T + T.t
     idx, d2 = knn(q, dst, dst_valid, 1, query_tile)
     m = src_valid & (d2[:, 0] < max_d2)
-    fitness = jnp.sum(jnp.where(m, d2[:, 0], 0.0)) / jnp.maximum(
-        jnp.sum(m), 1)
+    n_match = jnp.sum(m)
+    fitness = jnp.sum(jnp.where(m, d2[:, 0], 0.0)) / jnp.maximum(n_match, 1)
+    # PCL returns +inf-like when nothing matches; a handful of matches is
+    # equally meaningless and must not read as a perfect alignment
+    fitness = jnp.where(n_match >= 10, fitness, 1.0e9)
     return T, fitness

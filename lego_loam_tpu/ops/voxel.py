@@ -39,9 +39,17 @@ def voxel_downsample(
     qx = jnp.where(valid, q[:, 0], big)
     qy = jnp.where(valid, q[:, 1], big)
     qz = jnp.where(valid, q[:, 2], big)
+    # Primary sort key: a hash of the voxel id.  A lexicographic primary key
+    # would make the out_cap truncation drop a spatially coherent slab (e.g.
+    # all the highest-z voxels); hash order makes the dropped excess
+    # pseudo-random across space.  Invalid rows sort strictly last.
+    h = (q[:, 0] * jnp.int32(73856093)
+         ^ q[:, 1] * jnp.int32(19349663)
+         ^ q[:, 2] * jnp.int32(83492791)) & jnp.int32((1 << 30) - 1)
+    h = jnp.where(valid, h, big)
 
     # lexsort: last key is primary
-    order = jnp.lexsort((qx, qy, qz))
+    order = jnp.lexsort((qx, qy, qz, h))
     sx, sy, sz = qx[order], qy[order], qz[order]
     sv = valid[order]
     sxyz = xyz[order]

@@ -20,7 +20,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from lego_loam_tpu.config import PipelineConfig
 from lego_loam_tpu.models.mapping import MappingState
@@ -121,9 +121,8 @@ def _gn_core(edges: EdgeList, R, t, cfg: PipelineConfig, axis: str | None):
         return edge_residuals(edges, R2, t2).reshape(-1)
 
     x0 = jnp.zeros((K * 6,), jnp.float32)
-    r0 = r_of(x0)
-    _, jvp_fn = jax.linearize(r_of, x0)
-    vjp_fn = jax.vjp(r_of, x0)[1]
+    r0, jvp_fn = jax.linearize(r_of, x0)
+    vjp_fn = jax.linear_transpose(jvp_fn, x0)
 
     def matvec(v):
         return maybe_psum(vjp_fn(jvp_fn(v))[0]) + 1e-8 * v

@@ -20,6 +20,11 @@ CFG = config_for(
     max_keyframes=64, max_map_corner=2048, max_map_surf=8192,
     kf_corner_cap=512, kf_surf_cap=2048, kf_outlier_cap=512,
     max_scan_corner_ds=512, max_scan_surf_ds=2048, nn_query_tile=256,
+    nn_exact=True,   # deterministic 5-NN for reproducible fixtures
+    map_degen_eig_thresh=30.0,  # the reference's 100 is calibrated against
+                                # full-scale local maps (hundreds of corner
+                                # constraints); this miniature fixture yields
+                                # ~70 and would freeze xy by design
 )
 
 
@@ -131,3 +136,40 @@ def test_full_pipeline_odometry_plus_mapping():
     assert int(mstate.n_kf) >= 10
     assert ate < 0.15, f"mapped ATE {ate:.3f}"
     assert errs[-1] < 0.2, f"final {errs[-1]:.3f}"
+
+
+def test_compact_keyframes():
+    """Pool thinning keeps the newer half + every 2nd older keyframe,
+    rebuilds chain measurements, and remaps/drops loop edges."""
+    import jax.numpy as jnp
+
+    from tests.test_posegraph import CFG as PG_CFG, _chain_state
+    from lego_loam_tpu.models.posegraph import chain_compose
+
+    n = 40
+    state, trues = _chain_state(n, yaw_step=0.1)
+    # add two loop edges: one surviving (both endpoints kept), one whose
+    # history endpoint (odd index in the older half) gets thinned
+    state = state._replace(
+        loop_i=state.loop_i.at[0].set(n - 1).at[1].set(n - 2),
+        loop_j=state.loop_j.at[0].set(0).at[1].set(7),
+        loop_w=state.loop_w.at[0].set(5.0).at[1].set(5.0),
+        n_loops=jnp.int32(2),
+    )
+    out = mp.compact_keyframes(state, PG_CFG)
+    half = n // 2
+    expect_kept = [i for i in range(half) if i % 2 == 0] + list(range(half, n))
+    assert int(out.n_kf) == len(expect_kept)
+    # retained poses unchanged, in order
+    for new_i, old_i in enumerate(expect_kept):
+        np.testing.assert_allclose(np.asarray(out.kf_t[new_i]),
+                                   np.asarray(state.kf_t[old_i]), atol=1e-6)
+    # chain measurements consistent: composing them reproduces the poses
+    rebuilt = chain_compose(out, PG_CFG)
+    for i in range(len(expect_kept)):
+        np.testing.assert_allclose(np.asarray(rebuilt.kf_t[i]),
+                                   np.asarray(out.kf_t[i]), atol=1e-3)
+    # loop edge 0 survived and was remapped; edge 1 (endpoint 7 thinned) dropped
+    assert int(out.n_loops) == 1
+    assert int(out.loop_i[0]) == expect_kept.index(n - 1)
+    assert int(out.loop_j[0]) == 0
