@@ -92,3 +92,12 @@ class KittiSequence:
             pts = read_bin(os.path.join(self.velo_dir, name))
             xyz, valid = pad_scan(pts, self.cfg)
             yield xyz, valid, k * self.cfg.sensor.scan_period
+
+
+def write_poses_kitti(path: str, Rs: np.ndarray, ts: np.ndarray) -> None:
+    """Write (N,3,3)+(N,3) poses as KITTI 12-value rows (for evo/kitti-eval
+    tooling)."""
+    n = Rs.shape[0]
+    rows = np.concatenate([Rs.reshape(n, 9).reshape(n, 3, 3),
+                           ts.reshape(n, 3, 1)], axis=2).reshape(n, 12)
+    np.savetxt(path, rows, fmt="%.9e")
