@@ -116,3 +116,23 @@ def test_rpe():
     tr, rot = metrics.rpe(T2, T, delta=1)
     assert abs(tr - 0.1) < 1e-6
     assert rot < 1e-6
+
+
+def test_stage_timer_and_metrics_recorder():
+    import time
+
+    from lego_loam_tpu.utils.tracing import StageTimer
+
+    st = StageTimer()
+    for _ in range(3):
+        with st.stage("work"):
+            time.sleep(0.002)
+    s = st.summary()
+    assert s["work"]["n"] == 3
+    assert s["work"]["mean_ms"] >= 1.0
+
+    rec = metrics.MetricsRecorder()
+    rec.add(fps=10.0, n=5)
+    rec.add(fps=20.0, n=7)
+    out = rec.summary()
+    assert abs(out["fps"]["mean"] - 15.0) < 1e-9
