@@ -154,9 +154,10 @@ class LegoLoamPipeline:
                 self.mstate, jnp.float32(t), cfg)
             loop_closed = bool(res.closed)
 
-        # if mapping ran this scan, re-fuse against the fresh latch
-        fused = (_fuse_jit(self.mstate, opose) if mapped is not None
-                 else fused_fe)
+        # if mapping or a loop correction updated the latch this scan,
+        # re-fuse against the fresh state
+        fused = (_fuse_jit(self.mstate, opose)
+                 if (mapped is not None or loop_closed) else fused_fe)
         if self.collect_stats:
             fused_t, stats_v = jax.device_get((fused.t, stats))
             self.trajectory.append(np.asarray(fused_t))
@@ -182,8 +183,15 @@ class LegoLoamPipeline:
         n = int(self.mstate.n_kf)
         return np.asarray(self.mstate.kf_t[:n])
 
-    def global_map(self, what: str = "surf") -> np.ndarray:
-        """All keyframe blocks in the map frame (host-side, for export)."""
+    def global_map(self, what: str = "surf",
+                   radius: float | None = None,
+                   center: np.ndarray | None = None) -> np.ndarray:
+        """Keyframe blocks in the map frame (host-side, for export).
+
+        With `radius`, only keyframes within that distance of `center`
+        (default: the latest pose) contribute — the reference's global-map
+        visualization filter (globalMapVisualizationSearchRadius,
+        mapOptmization.cpp:724-800)."""
         n = int(self.mstate.n_kf)
         blocks = {"surf": (self.mstate.kf_surf, self.mstate.kf_surf_valid),
                   "corner": (self.mstate.kf_corner, self.mstate.kf_corner_valid),
@@ -192,5 +200,10 @@ class LegoLoamPipeline:
         pts, val = np.asarray(blocks[0][:n]), np.asarray(blocks[1][:n])
         R = np.asarray(self.mstate.kf_R[:n])
         t = np.asarray(self.mstate.kf_t[:n])
+        if radius is not None and n > 0:
+            c = (np.asarray(center) if center is not None
+                 else np.asarray(self.mstate.aft_mapped.t))
+            sel = np.linalg.norm(t - c, axis=1) <= radius
+            pts, val, R, t = pts[sel], val[sel], R[sel], t[sel]
         out = np.einsum("kij,kcj->kci", R, pts) + t[:, None, :]
         return out[val]
