@@ -33,6 +33,7 @@ from lego_loam_tpu.models.odometry import (
     _safe_norm,
 )
 from lego_loam_tpu.ops.knn import knn
+from lego_loam_tpu.ops.lin3 import eigvalsh3, principal_axis3, solve3
 from lego_loam_tpu.ops.voxel import voxel_downsample
 from lego_loam_tpu.types import ScanFeatures
 from lego_loam_tpu.utils.math3d import Pose, so3_exp
@@ -145,9 +146,9 @@ def _fit_lines(nn_pts, nn_ok, cfg):
     c = jnp.mean(nn_pts, axis=1)
     X = nn_pts - c[:, None, :]
     cov = jnp.einsum("nki,nkj->nij", X, X) / nn_pts.shape[1]
-    lam, V = jnp.linalg.eigh(cov)            # ascending
+    lam = eigvalsh3(cov)                     # ascending, closed form (VPU)
     ok = nn_ok & (lam[:, 2] > cfg.map_line_eig_ratio * lam[:, 1])
-    v = V[:, :, 2]
+    v = principal_axis3(cov, lam)
     a = c + 0.1 * v
     b = c - 0.1 * v
     return a, b, ok
@@ -163,7 +164,7 @@ def _fit_planes(nn_pts, nn_ok, cfg):
     tr = jnp.trace(AtA, axis1=-2, axis2=-1)[:, None, None]
     reg = (1e-6 * tr + 1e-6) * jnp.eye(3)
     Atb = -jnp.sum(A, axis=1)
-    n = jnp.linalg.solve(AtA + reg, Atb[..., None])[..., 0]
+    n = solve3(AtA + reg, Atb)
     finite = jnp.all(jnp.isfinite(n), axis=1)
     n = jnp.where(finite[:, None], n, 0.0)
     norm = _safe_norm(n, keepdims=True)
@@ -174,7 +175,7 @@ def _fit_planes(nn_pts, nn_ok, cfg):
     c = jnp.mean(A, axis=1)
     X = A - c[:, None, :]
     cov = jnp.einsum("nki,nkj->nij", X, X) / A.shape[1]
-    lam = jnp.linalg.eigvalsh(cov)          # ascending
+    lam = eigvalsh3(cov)                    # ascending, closed form (VPU)
     spread_ok = lam[:, 1] > cfg.map_plane_min_spread ** 2
     ok = (nn_ok & finite & spread_ok
           & jnp.all(resid <= cfg.map_plane_max_resid, axis=1))
@@ -189,8 +190,10 @@ def _map_residuals(T: Pose, corner_pts, corner_ok, surf_pts, surf_ok,
     qc = corner_pts @ T.R.T + T.t
     qs = surf_pts @ T.R.T + T.t
 
-    ci, cd2 = knn(qc, corner_map, corner_map_valid, 5, cfg.nn_query_tile)
-    si, sd2 = knn(qs, surf_map, surf_map_valid, 5, cfg.nn_query_tile)
+    ci, cd2 = knn(qc, corner_map, corner_map_valid, 5, cfg.nn_query_tile,
+                  exact=cfg.nn_exact)
+    si, sd2 = knn(qs, surf_map, surf_map_valid, 5, cfg.nn_query_tile,
+                  exact=cfg.nn_exact)
 
     c_ok = corner_ok & (cd2[:, 4] < cfg.map_nn_radius_sq)
     s_ok = surf_ok & (sd2[:, 4] < cfg.map_nn_radius_sq)

@@ -5,12 +5,57 @@ The reference instantiates eight pcl::VoxelGrid filters
 keeps the centroid of the points in every occupied leaf.  Same semantics
 here, fixed-shape: sort by quantized voxel key, segment-mean, compact the
 group leaders into a padded output.
+
+TPU notes: the sort is ONE multi-operand ``lax.sort`` carrying the payload
+columns along (a 4-key ``jnp.lexsort`` + post-gathers costs 4 stable sorts
+plus 5 gathers at 100k+ points — the dominant cost of local-map assembly).
+The primary key is a murmur-mixed hash of the voxel id, so the out_cap
+truncation drops a pseudo-random subset of voxels instead of a spatially
+coherent slab; the two secondary keys pack the exact quantized coordinates
+(20 bits per axis), so voxel identity is exact — no hash-collision merges.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+
+def _fmix32(h: jnp.ndarray) -> jnp.ndarray:
+    """Murmur3 finalizer: breaks the linear structure of combined keys.
+    A linear hash (XOR of per-axis products) collides systematically on
+    sign/reflection-symmetric voxel ids — real point clouds straddle the
+    sensor origin, so those ids co-occur constantly."""
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _voxel_keys(xyz: jnp.ndarray, valid: jnp.ndarray, leaf: float):
+    """Sort keys for floor(xyz / leaf): (hash, exact-id lo, exact-id hi).
+
+    The hash orders voxels pseudo-randomly (drop order under out_cap); the
+    two exact keys pack 20 bits per axis, injective for |q| < 2^19 leaves
+    (~100 km extent at 0.2 m) — voxel identity never collides.  Invalid rows
+    sort last (all keys maxed).
+    """
+    big = jnp.int32(2**30)
+    q = jnp.floor(xyz / leaf).astype(jnp.int32)
+    qu = q.astype(jnp.uint32)
+    mixed = ((qu[:, 0] * jnp.uint32(0x9E3779B1) + qu[:, 1])
+             * jnp.uint32(0x85EBCA77) + qu[:, 2])
+    h = (_fmix32(mixed) & jnp.uint32((1 << 30) - 1)).astype(jnp.int32)
+    m20 = jnp.uint32((1 << 20) - 1)
+    m10 = jnp.uint32((1 << 10) - 1)
+    k1 = (((qu[:, 0] & m20) << 10) | (qu[:, 1] & m10)).astype(jnp.int32)
+    k2 = ((((qu[:, 1] >> 10) & m10) << 20) | (qu[:, 2] & m20)).astype(jnp.int32)
+    h = jnp.where(valid, h, big)
+    k1 = jnp.where(valid, k1, big)
+    k2 = jnp.where(valid, k2, big)
+    return h, k1, k2
 
 
 def voxel_downsample(
@@ -27,36 +72,31 @@ def voxel_downsample(
       valid: (N,) bool.
       leaf: voxel edge length (static).
       out_cap: output capacity (static).  Extra voxels beyond out_cap are
-        dropped deterministically (largest keys first).
+        dropped deterministically; because the sort key is a hash of the
+        voxel id, the dropped excess is pseudo-random across space rather
+        than a spatially coherent slab.
       aux: optional (N, K) extra per-point features, averaged per voxel.
 
     Returns (xyz_out (out_cap, 3), valid_out (out_cap,)) or
     (xyz_out, aux_out, valid_out) when aux is given.
     """
     n = xyz.shape[0]
-    big = jnp.int32(2**30)
-    q = jnp.floor(xyz / leaf).astype(jnp.int32)
-    qx = jnp.where(valid, q[:, 0], big)
-    qy = jnp.where(valid, q[:, 1], big)
-    qz = jnp.where(valid, q[:, 2], big)
-    # Primary sort key: a hash of the voxel id.  A lexicographic primary key
-    # would make the out_cap truncation drop a spatially coherent slab (e.g.
-    # all the highest-z voxels); hash order makes the dropped excess
-    # pseudo-random across space.  Invalid rows sort strictly last.
-    h = (q[:, 0] * jnp.int32(73856093)
-         ^ q[:, 1] * jnp.int32(19349663)
-         ^ q[:, 2] * jnp.int32(83492791)) & jnp.int32((1 << 30) - 1)
-    h = jnp.where(valid, h, big)
+    h, k1, k2 = _voxel_keys(xyz, valid, leaf)
 
-    # lexsort: last key is primary
-    order = jnp.lexsort((qx, qy, qz, h))
-    sx, sy, sz = qx[order], qy[order], qz[order]
-    sv = valid[order]
-    sxyz = xyz[order]
+    ops = [h, k1, k2, xyz[:, 0], xyz[:, 1], xyz[:, 2],
+           valid.astype(jnp.float32)]
+    n_aux = 0
+    if aux is not None:
+        n_aux = aux.shape[1]
+        ops += [aux[:, k] for k in range(n_aux)]
+    sorted_ops = jax.lax.sort(tuple(ops), dimension=0, num_keys=3)
+    s1, s2 = sorted_ops[1], sorted_ops[2]   # exact voxel-id keys
+    sxyz = jnp.stack(sorted_ops[3:6], axis=1)
+    sv = sorted_ops[6] > 0.5
 
     new_group = jnp.concatenate([
         jnp.ones((1,), bool),
-        (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1]) | (sz[1:] != sz[:-1]),
+        (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1]),
     ])
     gid = jnp.cumsum(new_group.astype(jnp.int32)) - 1
 
@@ -73,7 +113,7 @@ def voxel_downsample(
 
     if aux is None:
         return xyz_out, valid_out
-    saux = aux[order]
+    saux = jnp.stack(sorted_ops[7:7 + n_aux], axis=1)
     aux_sums = jax.ops.segment_sum(
         jnp.where(sv[:, None], saux, 0.0), gid, num_segments=n
     )
