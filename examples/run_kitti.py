@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--loop", action="store_true")
     ap.add_argument("--out", default=None, help="write KITTI-format trajectory")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="process C scans per device dispatch (throughput "
+                         "replay mode; 0 = per-scan)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -56,14 +59,40 @@ def main():
     pipe = LegoLoamPipeline(cfg)
 
     est_R, est_t = [], []
-    for k, (xyz, valid, t) in enumerate(seq):
-        res = pipe.process_scan(xyz, valid, None, t=t)
-        est_R.append(np.asarray(res.fused_pose.R))
-        est_t.append(np.asarray(res.fused_pose.t))
-        if k % 50 == 0:
-            print(f"frame {k}/{len(seq)}  pos="
-                  f"{np.asarray(res.fused_pose.t).round(1)}  "
-                  f"{res.wall_ms:.0f} ms")
+    if args.chunk > 1:
+        # throughput replay: C scans per dispatch; the ragged tail runs
+        # through the per-scan path (chunk size is jit-static)
+        buf = []
+        C = args.chunk
+
+        def flush_chunk():
+            xyzs = np.stack([b[0] for b in buf])
+            vals = np.stack([b[1] for b in buf])
+            res = pipe.process_chunk(xyzs, vals, None, t0=buf[0][2])
+            est_R.extend(np.asarray(res.fused_poses.R))
+            est_t.extend(np.asarray(res.fused_poses.t))
+            print(f"frame {len(est_t)}/{len(seq)}  pos="
+                  f"{est_t[-1].round(1)}  "
+                  f"{res.wall_ms / len(buf):.0f} ms/scan")
+            buf.clear()
+
+        for xyz, valid, t in seq:
+            buf.append((xyz, valid, t))
+            if len(buf) == C:
+                flush_chunk()
+        for xyz, valid, t in buf:
+            res = pipe.process_scan(xyz, valid, None, t=t)
+            est_R.append(np.asarray(res.fused_pose.R))
+            est_t.append(np.asarray(res.fused_pose.t))
+    else:
+        for k, (xyz, valid, t) in enumerate(seq):
+            res = pipe.process_scan(xyz, valid, None, t=t)
+            est_R.append(np.asarray(res.fused_pose.R))
+            est_t.append(np.asarray(res.fused_pose.t))
+            if k % 50 == 0:
+                print(f"frame {k}/{len(seq)}  pos="
+                      f"{np.asarray(res.fused_pose.t).round(1)}  "
+                      f"{res.wall_ms:.0f} ms")
 
     est_R = np.stack(est_R)
     est_t = np.stack(est_t)

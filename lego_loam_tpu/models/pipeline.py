@@ -62,6 +62,63 @@ def frontend_step(ostate, xyz, valid, ring, bef_mapped, aft_mapped,
     return ostate, feats, opose, rel, fused, stats
 
 
+@partial(jax.jit, static_argnames=("cfg", "use_ring", "loop_every"))
+def chunk_steps(ostate, mstate, xyz, valid, ring, frames, times,
+                cfg: PipelineConfig, use_ring: bool, loop_every: int):
+    """C scans in ONE device program: `lax.scan` over the per-scan step with
+    the mapping / loop-closure cadences expressed as `lax.cond` on the frame
+    index.  This is the throughput mode for sequence replay — zero host
+    round-trips between scans (per-dispatch tunnel latency is ~20-25 ms, so
+    per-scan dispatch caps throughput long before device compute does).
+
+    Semantically identical to C calls of the per-scan path (same math, same
+    cadences; the reference's 200 Hz poll + stamp gates + 0.3 s throttle,
+    featureAssociation.cpp:1817-1886 / mapOptmization.cpp:1487-1499, made
+    deterministic).  Lidar-only: the host-side IMU buffer is a per-scan
+    input and stays on the per-scan path (IMU is optional in the reference,
+    README.md:3,102).
+    """
+
+    def step(carry, inp):
+        ostate, mstate = carry
+        xyz_k, valid_k, ring_k, frame_k, t_k = inp
+        ostate, feats, opose, rel, _fused_fe, stats = frontend_step(
+            ostate, xyz_k, valid_k, ring_k,
+            mstate.bef_mapped, mstate.aft_mapped, cfg, use_ring)
+
+        do_map = (frame_k % cfg.mapping_process_every) == 0
+        mfeats = feats._replace(
+            less_sharp=ostate.ref_corner, less_flat=ostate.ref_surf)
+
+        mstate, mpose = jax.lax.cond(
+            do_map,
+            lambda m: mp.mapping_step(m, mfeats, opose, t_k, cfg),
+            lambda m: (m, m.aft_mapped),
+            mstate)
+
+        if cfg.loop_closure_enabled:
+            do_loop = ((frame_k % loop_every) == 0) & (mstate.n_kf > 2)
+            mstate, res = jax.lax.cond(
+                do_loop,
+                lambda m: lc.loop_closure_step(m, t_k, cfg),
+                lambda m: (m, lc.LoopResult(
+                    closed=jnp.bool_(False), candidate=jnp.int32(0),
+                    fitness=jnp.float32(jnp.inf))),
+                mstate)
+            closed = res.closed
+        else:
+            closed = jnp.bool_(False)
+
+        # identical to the per-scan re-fuse: on non-mapping frames the
+        # latches are unchanged, so this equals the front-end fuse
+        fused = fuse_pose(mstate, opose)
+        return (ostate, mstate), (opose, fused, mpose, do_map, closed, stats)
+
+    (ostate, mstate), outs = jax.lax.scan(
+        step, (ostate, mstate), (xyz, valid, ring, frames, times))
+    return ostate, mstate, outs
+
+
 @dataclass
 class FrameResult:
     odom_pose: Pose
@@ -69,6 +126,17 @@ class FrameResult:
     mapped_pose: Pose | None
     loop_closed: bool
     stats: dict
+    wall_ms: float
+
+
+@dataclass
+class ChunkResult:
+    odom_poses: Pose        # stacked (C,·) sweep-end odometry poses
+    fused_poses: Pose       # stacked (C,·) map-accurate poses at scan rate
+    mapped_poses: Pose      # stacked; rows where did_map is False repeat the latch
+    did_map: jnp.ndarray    # (C,) bool
+    loop_closed: jnp.ndarray  # (C,) bool
+    stats: jnp.ndarray      # (C, 5) int32 packed per-scan stats
     wall_ms: float
 
 
@@ -176,6 +244,61 @@ class LegoLoamPipeline:
             stats=stats_d,
             wall_ms=wall_ms,
         )
+
+    def process_chunk(self, xyz, valid, ring=None, t0: float | None = None
+                      ) -> ChunkResult:
+        """Process a chunk of C scans in one device program (see chunk_steps).
+
+        xyz: (C, N, 3), valid: (C, N), ring: (C, N) — C is jit-static, so
+        feed fixed-size chunks (pad the tail of a sequence by repeating the
+        last scan, or process it with process_scan).  Poses come back
+        stacked; state advances exactly as C process_scan calls would
+        (lidar-only — push_imu users stay on the per-scan path)."""
+        if self.imu_used:
+            raise ValueError("process_chunk is lidar-only; the host IMU "
+                             "buffer must be interpolated per scan — use "
+                             "process_scan when push_imu is in play")
+        cfg = self.cfg
+        t0 = (float(t0) if t0 is not None
+              else self.frame * cfg.sensor.scan_period)
+        t0w = _time.perf_counter()
+
+        use_ring = cfg.sensor.use_ring
+        if use_ring and ring is None:
+            raise ValueError(
+                f"sensor {cfg.sensor.name} expects a ring channel; pass "
+                "ring= or use an elevation-math preset (use_ring=False)")
+        xyz = jnp.asarray(xyz, jnp.float32)
+        C = xyz.shape[0]
+        valid = jnp.asarray(valid)
+        ring_arr = (jnp.asarray(ring, jnp.int32) if ring is not None
+                    else jnp.zeros(xyz.shape[:2], jnp.int32))
+        frames = jnp.arange(self.frame, self.frame + C, dtype=jnp.int32)
+        times = jnp.float32(t0) + jnp.arange(C, dtype=jnp.float32) \
+            * cfg.sensor.scan_period
+
+        # pool thinning: at most ceil(C / mapping_process_every) insertions
+        # this chunk — one host pull per chunk keeps the check exact
+        reserve = max(40, -(-C // cfg.mapping_process_every) + 1)
+        if int(self.mstate.n_kf) >= cfg.max_keyframes - reserve:
+            self.mstate = mp.compact_keyframes(self.mstate, cfg)
+
+        self.ostate, self.mstate, outs = chunk_steps(
+            self.ostate, self.mstate, xyz, valid, ring_arr, frames, times,
+            cfg, use_ring, self.loop_check_every)
+        opose, fused, mpose, did_map, closed, stats = outs
+        self.frame += C
+        self.last_mapped = self.mstate.aft_mapped
+        if self.collect_stats:
+            fused_t = jax.device_get(fused.t)
+            self.trajectory.extend(np.asarray(fused_t))
+        else:
+            self.trajectory.append(fused.t)  # (C, 3) device block, lazy
+        wall_ms = (_time.perf_counter() - t0w) * 1e3
+        return ChunkResult(
+            odom_poses=opose, fused_poses=fused, mapped_poses=mpose,
+            did_map=did_map, loop_closed=closed, stats=stats,
+            wall_ms=wall_ms)
 
     # ---- exports (mapOptmization.cpp:724-800 analog) ----
 
