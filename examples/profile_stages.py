@@ -65,6 +65,42 @@ def main() -> None:
 
     ms_fe = timed(fe)
 
+    # --- frontend internals breakdown ---
+    from lego_loam_tpu.ops.compaction import segment_scan
+    from lego_loam_tpu.ops.features import extract_features
+    from lego_loam_tpu.ops.projection import project_scan
+
+    proj = jax.jit(lambda x, v, r: project_scan(x, v, cfg, r))
+
+    def pr():
+        return proj(xyz, valid, ring)
+
+    ms_proj = timed(pr)
+    img = pr()
+
+    seg = jax.jit(lambda im: segment_scan(im, cfg))
+
+    def sg():
+        return seg(img)
+
+    ms_seg = timed(sg)
+    packed, o_rel, ground, _segm = sg()
+
+    featf = jax.jit(lambda p, o: extract_features(p, o, cfg))
+
+    def ft():
+        return featf(packed, o_rel)
+
+    ms_feat = timed(ft)
+    feats0 = ft()
+
+    ostep = jax.jit(lambda st, f: odo.odometry_step(st, f, cfg))
+
+    def od():
+        return ostep(ostate, feats0)
+
+    ms_odo = timed(od)
+
     out = fe()
     feats, opose = out[1], out[2]
     mfeats = feats._replace(less_sharp=ostate.ref_corner,
@@ -126,6 +162,10 @@ def main() -> None:
     ms_rt = timed(rt)
 
     print(f"frontend_step (blocked): {ms_fe:8.2f} ms")
+    print(f"  project_scan:          {ms_proj:8.2f} ms")
+    print(f"  segment_scan:          {ms_seg:8.2f} ms")
+    print(f"  extract_features:      {ms_feat:8.2f} ms")
+    print(f"  odometry_step:         {ms_odo:8.2f} ms")
     print(f"mapping_step  (blocked): {ms_map:8.2f} ms "
           f"(every {cfg.mapping_process_every} scans -> "
           f"{ms_map / cfg.mapping_process_every:.2f} ms/scan)")

@@ -204,7 +204,14 @@ class PipelineConfig:
     kf_surf_cap: int = 2048
     kf_outlier_cap: int = 1024
     max_loop_edges: int = 128
-    nn_query_tile: int = 256                 # query tile for chunked 5-NN
+    nn_query_tile: int = 2048                # query tile for chunked 5-NN.
+                                             # Tiles run sequentially, so the
+                                             # tile should be as large as the
+                                             # (Q_tile x max_map_surf) f32
+                                             # distance matrix affords: 2048 x
+                                             # 32768 = 256 MB transient, 2
+                                             # sequential tiles for the surf
+                                             # 5-NN instead of 16 at 256
     nn_exact: bool = False                   # exact top-k vs TPU approx_min_k
     sector_parallel: bool = True             # pick features in all 6 sectors
                                              # at once (cross-sector +-5

@@ -211,25 +211,17 @@ def scan_to_map(
     cfg: PipelineConfig,
 ):
     """6-DoF GN registration of the downsampled scan against the local map
-    (mapOptmization.cpp:1229-1350).  Association happens every iteration,
-    like the reference.  Returns (T, n_constraints_last)."""
+    (mapOptmization.cpp:1229-1350).  Returns (T, n_constraints_last).
+
+    Structure: the first map_assoc_iters association+GN rounds are unrolled
+    in Python (the NN search is traced exactly that many times), then a
+    while_loop runs frozen-correspondence GN refinements with early exit.
+    No lax.cond inside the loops — a cond whose predicate becomes batched
+    (e.g. under the fleet-replay vmap, models/batch.py) silently turns into
+    an execute-both-branches select, re-running the NN every iteration."""
     map_gate = (jnp.sum(corner_map_valid) > 10) & (jnp.sum(surf_map_valid) > 100)
 
-    def cond(carry):
-        it, T, P, done, n_last, assoc = carry
-        return (it < cfg.map_iters) & ~done & map_gate
-
-    def body(carry):
-        it, T, P, done, n_last, assoc = carry
-        # the search runs inside the cond branch: after map_assoc_iters the
-        # NN/fit work is genuinely skipped, not just masked
-        assoc = jax.lax.cond(
-            it < cfg.map_assoc_iters,
-            lambda a: _map_residuals(
-                T, corner_pts, corner_ok, surf_pts, surf_ok,
-                corner_map, corner_map_valid, surf_map, surf_map_valid, cfg),
-            lambda a: a,
-            assoc)
+    def gn_step(T, P, done, assoc, compute_proj: bool):
         (la, lb, c_ok), (pn, pd, s_ok) = assoc
 
         def f(x):
@@ -262,29 +254,50 @@ def scan_to_map(
         x = jnp.linalg.solve(H + 1e-6 * jnp.eye(6), g)
         x = jnp.where(jnp.isfinite(x), x, 0.0)
 
-        P = jnp.where(it == 0,
-                      _degeneracy_projection(H, cfg.map_degen_eig_thresh), P)
+        if compute_proj:
+            # 6x6 eigh once, on the first GN iteration (mapOptmization.cpp:
+            # 1272-1305 latches matP at iterCount == 0)
+            P = _degeneracy_projection(H, cfg.map_degen_eig_thresh)
         x = P @ x
 
         n_keep = jnp.sum(keep)
-        apply = n_keep >= cfg.map_min_constraints
+        apply = (~done) & map_gate & (n_keep >= cfg.map_min_constraints)
         T_new = Pose(so3_exp(x[:3]) @ T.R, T.t + x[3:])
         T = jax.tree_util.tree_map(
             lambda a, b: jnp.where(apply, a, b), T_new, T)
         d_rot = jnp.degrees(_safe_norm(x[:3]))
         d_trans = 100.0 * _safe_norm(x[3:])
-        done = apply & (d_rot < cfg.map_delta_rot_deg) \
-            & (d_trans < cfg.map_delta_trans_cm)
-        return it + 1, T, P, done, n_keep, assoc
+        done = done | (apply & (d_rot < cfg.map_delta_rot_deg)
+                       & (d_trans < cfg.map_delta_trans_cm))
+        return T, P, done, n_keep
 
-    P0 = jnp.eye(6, dtype=jnp.float32)
-    assoc0 = _map_residuals(
-        T0, corner_pts, corner_ok, surf_pts, surf_ok,
-        corner_map, corner_map_valid, surf_map, surf_map_valid, cfg)
-    assoc0 = jax.tree_util.tree_map(jnp.zeros_like, assoc0)
-    _, T, _, _, n_last, _ = jax.lax.while_loop(
-        cond, body,
-        (jnp.int32(0), T0, P0, jnp.bool_(False), jnp.int32(0), assoc0))
+    T = T0
+    P = jnp.eye(6, dtype=jnp.float32)
+    done = jnp.bool_(False)
+    n_last = jnp.int32(0)
+    n_assoc = min(cfg.map_assoc_iters, cfg.map_iters)
+    assoc = None
+    for a in range(n_assoc):
+        # when already converged the masked step leaves T unchanged, so the
+        # extra (wasted) searches return identical associations
+        assoc = _map_residuals(
+            T, corner_pts, corner_ok, surf_pts, surf_ok,
+            corner_map, corner_map_valid, surf_map, surf_map_valid, cfg)
+        was_done = done
+        T, P, done, n_keep = gn_step(T, P, done, assoc, compute_proj=(a == 0))
+        n_last = jnp.where(map_gate & ~was_done, n_keep, n_last)
+
+    def cond(carry):
+        it, T, done, n_last = carry
+        return (it < cfg.map_iters) & ~done & map_gate
+
+    def body(carry):
+        it, T, done, n_last = carry
+        T, _, done, n_keep = gn_step(T, P, done, assoc, compute_proj=False)
+        return it + 1, T, done, n_keep
+
+    _, T, _, n_last = jax.lax.while_loop(
+        cond, body, (jnp.int32(n_assoc), T, done, n_last))
     return T, n_last
 
 

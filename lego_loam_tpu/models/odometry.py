@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from lego_loam_tpu.config import PipelineConfig
 from lego_loam_tpu.ops.knn import masked_argmin, sq_dist_matrix
+from lego_loam_tpu.ops.lin3 import solve3
 from lego_loam_tpu.types import FeatureCloud, ScanFeatures, empty_feature_cloud
 from lego_loam_tpu.utils.math3d import Pose, so3_exp, so3_log
 
@@ -209,7 +210,9 @@ def _gn_iteration(rel, chart, pts, s, resid_at, cfg):
     # iteration 0 (its robust weights only start at iteration 5).
     Au = J * keep[:, None].astype(J.dtype)
     H_unw = Au.T @ Au
-    x = jnp.linalg.solve(H + 1e-6 * jnp.eye(dof), g)
+    # closed-form 3x3 solve (ops/lin3): jnp.linalg.solve lowers to an LU
+    # routine whose control flow dominates at this size
+    x = solve3(H + 1e-6 * jnp.eye(dof), g)
     x = jnp.where(jnp.isfinite(x), x, 0.0)
 
     # trust region: scale the step down if it exceeds the per-iteration caps
@@ -247,20 +250,17 @@ def _phase(rel0, chart, pts, s, make_assoc, make_resid, cfg):
     def outer(o, carry):
         rel, P, done_prev = carry
         assoc = make_assoc(rel)
-        # a fresh association restarts convergence: a tiny step against bad
-        # correspondences must not freeze later, better-associated rounds
-        done = jnp.bool_(False)
+        resid_at = make_resid(assoc)
 
-        def inner(i, carry):
-            rel, P, done = carry
-            it = o * cfg.odom_inner_iters + i
-            resid_at = make_resid(assoc)
+        def gn_apply(rel, P, done, compute_proj: bool):
             x, H, n_keep = _gn_iteration(rel, chart, pts, s, resid_at, cfg)
-            # refresh the projection at the start of every association
-            # round: a projection latched against the seed's (possibly bad)
-            # correspondences must not freeze directions for good ones
-            P = jnp.where(i == 0,
-                          _degeneracy_projection(H, cfg.odom_degen_eig_thresh), P)
+            if compute_proj:
+                # refresh the projection at the start of every association
+                # round: a projection latched against the seed's (possibly
+                # bad) correspondences must not freeze directions for good
+                # ones.  Computed once per round — the 3x3 eigh is the most
+                # expensive single op in the loop on TPU
+                P = _degeneracy_projection(H, cfg.odom_degen_eig_thresh)
             x = P @ x
             apply = (~done) & (n_keep >= cfg.odom_min_constraints)
             rel = jax.tree_util.tree_map(
@@ -271,8 +271,16 @@ def _phase(rel0, chart, pts, s, make_assoc, make_resid, cfg):
             done = done | (apply & (d_rot < rot_thr) & (d_trans < trans_thr))
             return rel, P, done
 
+        # a fresh association restarts convergence: a tiny step against bad
+        # correspondences must not freeze later, better-associated rounds
+        rel, P, done = gn_apply(rel, P, jnp.bool_(False), True)
+
+        def inner(i, carry):
+            rel, P, done = carry
+            return gn_apply(rel, P, done, False)
+
         rel, P, done = jax.lax.fori_loop(
-            0, cfg.odom_inner_iters, inner, (rel, P, done))
+            0, cfg.odom_inner_iters - 1, inner, (rel, P, done))
         return rel, P, done
 
     P0 = jnp.eye(dof, dtype=jnp.float32)

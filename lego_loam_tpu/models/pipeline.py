@@ -64,7 +64,8 @@ def frontend_step(ostate, xyz, valid, ring, bef_mapped, aft_mapped,
 
 @partial(jax.jit, static_argnames=("cfg", "use_ring", "loop_every"))
 def chunk_steps(ostate, mstate, xyz, valid, ring, frames, times,
-                cfg: PipelineConfig, use_ring: bool, loop_every: int):
+                cfg: PipelineConfig, use_ring: bool, loop_every: int,
+                imu_buf=None):
     """C scans in ONE device program: `lax.scan` over the per-scan step with
     the mapping / loop-closure cadences expressed as `lax.cond` on the frame
     index.  This is the throughput mode for sequence replay — zero host
@@ -74,14 +75,21 @@ def chunk_steps(ostate, mstate, xyz, valid, ring, frames, times,
     Semantically identical to C calls of the per-scan path (same math, same
     cadences; the reference's 200 Hz poll + stamp gates + 0.3 s throttle,
     featureAssociation.cpp:1817-1886 / mapOptmization.cpp:1487-1499, made
-    deterministic).  Lidar-only: the host-side IMU buffer is a per-scan
-    input and stays on the per-scan path (IMU is optional in the reference,
-    README.md:3,102).
+    deterministic).  imu_buf, when given, must already hold every IMU sample
+    for the chunk's time span (offline replay has the whole stream up
+    front); each scan then gets the same IMU seeding / attitude blending as
+    the per-scan path.
     """
+    with_imu = imu_buf is not None
 
     def step(carry, inp):
         ostate, mstate = carry
         xyz_k, valid_k, ring_k, frame_k, t_k = inp
+        if with_imu:
+            si = imu_mod.scan_imu(imu_buf, t_k, cfg)
+            seed = imu_mod.odometry_seed(
+                ostate.rel, si, cfg.sensor.scan_period)
+            ostate = ostate._replace(rel=seed)
         ostate, feats, opose, rel, _fused_fe, stats = frontend_step(
             ostate, xyz_k, valid_k, ring_k,
             mstate.bef_mapped, mstate.aft_mapped, cfg, use_ring)
@@ -92,7 +100,9 @@ def chunk_steps(ostate, mstate, xyz, valid, ring, frames, times,
 
         mstate, mpose = jax.lax.cond(
             do_map,
-            lambda m: mp.mapping_step(m, mfeats, opose, t_k, cfg),
+            lambda m: mp.mapping_step(
+                m, mfeats, opose, t_k, cfg,
+                imu_buf=imu_buf if with_imu else None),
             lambda m: (m, m.aft_mapped),
             mstate)
 
@@ -252,12 +262,10 @@ class LegoLoamPipeline:
         xyz: (C, N, 3), valid: (C, N), ring: (C, N) — C is jit-static, so
         feed fixed-size chunks (pad the tail of a sequence by repeating the
         last scan, or process it with process_scan).  Poses come back
-        stacked; state advances exactly as C process_scan calls would
-        (lidar-only — push_imu users stay on the per-scan path)."""
-        if self.imu_used:
-            raise ValueError("process_chunk is lidar-only; the host IMU "
-                             "buffer must be interpolated per scan — use "
-                             "process_scan when push_imu is in play")
+        stacked; state advances exactly as C process_scan calls would.  If
+        IMU samples were pushed, push ALL samples covering the chunk's time
+        span BEFORE the call (offline replay has the stream up front); the
+        buffer is uploaded once per chunk."""
         cfg = self.cfg
         t0 = (float(t0) if t0 is not None
               else self.frame * cfg.sensor.scan_period)
@@ -285,7 +293,8 @@ class LegoLoamPipeline:
 
         self.ostate, self.mstate, outs = chunk_steps(
             self.ostate, self.mstate, xyz, valid, ring_arr, frames, times,
-            cfg, use_ring, self.loop_check_every)
+            cfg, use_ring, self.loop_check_every,
+            imu_buf=self.imu_host.to_device() if self.imu_used else None)
         opose, fused, mpose, did_map, closed, stats = outs
         self.frame += C
         self.last_mapped = self.mstate.aft_mapped

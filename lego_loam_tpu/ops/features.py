@@ -89,29 +89,34 @@ def _sector_bounds(count: jnp.ndarray, j: jnp.ndarray, cfg: PipelineConfig):
     return sp, ep, ok
 
 
-def _suppress(picked, rows, idx, col, count, enable):
-    """Mark idx and its +-5 neighbors picked, stopping at column gaps > 10
-    (featureAssociation.cpp:721-732).  rows/idx/count/enable are flat pick
-    vectors (one entry per simultaneous pick)."""
-    W = picked.shape[1]
+def _suppress_reach(col, count, cfg):
+    """Per-cell suppression reach (left, right): how far a pick at each cell
+    marks its +-5 neighbors picked, stopping at column gaps > 10 and ring
+    bounds (featureAssociation.cpp:721-732).
 
-    def colat(i):
-        return col[rows, jnp.clip(i, 0, W - 1)]
+    The gap/bound rules don't depend on which cell gets picked, so the reach
+    is precomputed ONCE per scan; each pick then suppresses with a single
+    band-mask compare instead of 10 sequential gather/scatter rounds (the
+    pick loop is the latency-bound part of feature extraction on TPU)."""
+    W = col.shape[1]
+    idx = jnp.arange(W, dtype=jnp.int32)[None, :]
+    # gap[i] = |col[i] - col[i-1]| <= 10 (between cells i-1 and i); the roll
+    # wraparound at i=0 is harmless — it is masked by the bounds below
+    gap = jnp.abs(col - jnp.roll(col, 1, axis=1)) <= 10
+    cnt = count[:, None]
 
-    picked = picked.at[rows, idx].max(enable)
-    ok = enable
+    reach_r = jnp.zeros(col.shape, jnp.int32)
+    ok = jnp.ones(col.shape, bool)
     for l in range(1, 6):
-        ok = ok & (idx + l <= count - 1) & (
-            jnp.abs(colat(idx + l) - colat(idx + l - 1)) <= 10
-        )
-        picked = picked.at[rows, jnp.clip(idx + l, 0, W - 1)].max(ok)
-    ok = enable
+        ok = ok & jnp.roll(gap, -l, axis=1) & (idx + l <= cnt - 1)
+        reach_r = reach_r + ok.astype(jnp.int32)
+
+    reach_l = jnp.zeros(col.shape, jnp.int32)
+    ok = jnp.ones(col.shape, bool)
     for l in range(1, 6):
-        ok = ok & (idx - l >= 0) & (
-            jnp.abs(colat(idx - l) - colat(idx - l + 1)) <= 10
-        )
-        picked = picked.at[rows, jnp.clip(idx - l, 0, W - 1)].max(ok)
-    return picked
+        ok = ok & jnp.roll(gap, l - 1, axis=1) & (idx - l >= 0)
+        reach_l = reach_l + ok.astype(jnp.int32)
+    return reach_l, reach_r
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -124,6 +129,7 @@ def label_features(packed: SegmentedScan, cfg: PipelineConfig):
 
     curv, curv_valid = compute_curvature(packed, cfg)
     picked0 = occlusion_mask(packed, cfg)
+    reach_l, reach_r = _suppress_reach(packed.col, packed.count, cfg)
 
     base = packed.valid & curv_valid
     corner_base = base & (curv > cfg.edge_threshold) & ~packed.ground
@@ -144,7 +150,6 @@ def label_features(packed: SegmentedScan, cfg: PipelineConfig):
                   n_picks, label_of, suppress_last):
         """Iterated argmax picks over (R, n_sectors, W) eligibility."""
         rows_v = jnp.repeat(rows, n_sectors)
-        count_v = jnp.repeat(packed.count, n_sectors)
 
         def pick(k, st):
             labels, picked = st
@@ -157,8 +162,15 @@ def label_features(packed: SegmentedScan, cfg: PipelineConfig):
             has_v = has.reshape(-1)
             cur = labels[rows_v, idx_v]
             labels = labels.at[rows_v, idx_v].set(jnp.where(has_v, lab, cur))
-            sup = has_v & (suppress_last | (k < n_picks - 1))
-            picked = _suppress(picked, rows_v, idx_v, packed.col, count_v, sup)
+            sup = has & (suppress_last | (k < n_picks - 1))      # (R, S')
+            rl = jnp.take_along_axis(reach_l, idx, axis=1)
+            rr = jnp.take_along_axis(reach_r, idx, axis=1)
+            band = (
+                (idxs[:, None, :] >= (idx - rl)[:, :, None])
+                & (idxs[:, None, :] <= (idx + rr)[:, :, None])
+                & sup[:, :, None]
+            )                                                    # (R, S', W)
+            picked = picked | jnp.any(band, axis=1)
             return labels, picked
 
         return jax.lax.fori_loop(0, n_picks, pick, (labels, picked))

@@ -54,17 +54,22 @@ def knn(query, ref, ref_valid, k: int, query_tile: int = 0,
 
     Returns (idx (Q, k) int32, d2 (Q, k) float32), ascending by distance.
     If query_tile > 0, the distance matrix is built in query tiles of that
-    size to bound memory (Q must be a multiple of the tile).
+    size to bound memory (the query is zero-padded to a tile multiple; the
+    tiles run sequentially via lax.map, so prefer the largest tile memory
+    allows — each extra tile is another latency-bound dispatch segment).
     """
     if query_tile and query.shape[0] > query_tile:
-        q = query.reshape(-1, query_tile, 3)
+        Q = query.shape[0]
+        pad = (-Q) % query_tile
+        qp = jnp.pad(query, ((0, pad), (0, 0))) if pad else query
+        q = qp.reshape(-1, query_tile, 3)
 
         def tile(qt):
             d2 = sq_dist_matrix(qt, ref, ref_valid)
             return _topk_neg(d2, k, exact)
 
         idx, d2 = jax.lax.map(tile, q)
-        return idx.reshape(-1, k), d2.reshape(-1, k)
+        return idx.reshape(-1, k)[:Q], d2.reshape(-1, k)[:Q]
 
     d2 = sq_dist_matrix(query, ref, ref_valid)
     return _topk_neg(d2, k, exact)

@@ -15,7 +15,24 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import gc  # noqa: E402
+
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    The suite compiles ~100 distinct XLA CPU programs (several of them very
+    large scan/cond pipelines); keeping them all loaded in one process has
+    produced compiler crashes (SIGSEGV/SIGABRT inside backend_compile) late
+    in the run.  Each module's tests share configs — and therefore jit cache
+    entries — so clearing at module boundaries costs nothing within a module."""
+    yield
+    jax.clear_caches()
+    gc.collect()

@@ -115,9 +115,45 @@ def test_chunk_with_loop_closure():
                                np.asarray(pipe_a.mstate.kf_t[:n]), atol=1e-3)
 
 
-def test_chunk_rejects_imu():
-    pipe = LegoLoamPipeline(CFG)
-    pipe.push_imu(0.0, np.eye(3), np.array([0.0, 0.0, 9.81]), np.zeros(3))
-    with pytest.raises(ValueError, match="lidar-only"):
-        pipe.process_chunk(jnp.zeros((2, 16, 3)), jnp.zeros((2, 16), bool),
-                           jnp.zeros((2, 16), jnp.int32))
+def test_chunk_with_imu_matches_per_scan():
+    """IMU-seeded replay: chunk == per-scan when the buffer holds the whole
+    stream up front (the offline-replay contract)."""
+    from lego_loam_tpu.models import imu as im
+    from lego_loam_tpu.utils.math3d import euler_to_mat
+
+    n = 8
+    scans = _scans(n, CFG, arc=0.25 * np.pi)
+    scan_dt = CFG.sensor.scan_period
+    yaw_rate = (0.25 * np.pi) / ((n - 1) * scan_dt)
+
+    def imu_samples():
+        for k in range(n):
+            for j in range(6):
+                ti = k * scan_dt + j * scan_dt / 5
+                yaw = yaw_rate * ti
+                Ri = np.asarray(euler_to_mat(
+                    jnp.float32(0), jnp.float32(0), jnp.float32(yaw)))
+                acc_body = Ri.T @ np.array([0.0, 0.0, im.GRAVITY])
+                yield k, ti, Ri, acc_body, np.array([0.0, 0.0, yaw_rate])
+
+    pipe_a = LegoLoamPipeline(CFG, collect_stats=False)
+    samples = list(imu_samples())
+    fused_a = []
+    for k in range(n):
+        for kk, ti, Ri, acc, gyro in samples:
+            if kk == k:
+                pipe_a.push_imu(ti, Ri, acc, gyro)
+        res = pipe_a.process_scan(*scans[k], t=k * scan_dt)
+        fused_a.append(np.asarray(res.fused_pose.t))
+
+    pipe_b = LegoLoamPipeline(CFG, collect_stats=False)
+    for _, ti, Ri, acc, gyro in samples:   # whole stream up front
+        pipe_b.push_imu(ti, Ri, acc, gyro)
+    res = pipe_b.process_chunk(
+        jnp.stack([s[0] for s in scans]),
+        jnp.stack([s[1] for s in scans]),
+        jnp.stack([s[2] for s in scans]), t0=0.0)
+
+    np.testing.assert_allclose(np.asarray(res.fused_poses.t),
+                               np.stack(fused_a), atol=1e-4)
+    assert int(pipe_b.mstate.n_kf) == int(pipe_a.mstate.n_kf)
