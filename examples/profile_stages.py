@@ -106,10 +106,22 @@ def main() -> None:
     mfeats = feats._replace(less_sharp=ostate.ref_corner,
                             less_flat=ostate.ref_surf)
 
-    def mstep():
-        return mp.mapping_step(mstate, mfeats, opose, jnp.float32(2.0), cfg)
+    # mapping_step donates its state: time a rebind loop, like real callers
+    import jax.tree_util as jtu
 
-    ms_map = timed(mstep)
+    def clone(s):
+        return jtu.tree_map(lambda a: jnp.array(a, copy=True), s)
+
+    st = clone(mstate)
+    st, _ = mp.mapping_step(st, mfeats, opose, jnp.float32(2.0), cfg)  # warm
+    st = clone(mstate)
+    jax.block_until_ready(st.kf_t)
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        st, mpose_t = mp.mapping_step(st, mfeats, opose, jnp.float32(2.0), cfg)
+    jax.block_until_ready(mpose_t.t)
+    ms_map = (time.perf_counter() - t0) / n * 1e3
 
     # --- mapping internals breakdown ---
     from lego_loam_tpu.ops.voxel import voxel_downsample

@@ -213,6 +213,20 @@ class PipelineConfig:
                                              # sequential tiles for the surf
                                              # 5-NN instead of 16 at 256
     nn_exact: bool = False                   # exact top-k vs TPU approx_min_k
+                                             # (XLA backend only)
+    nn_backend: str = "auto"                 # map 5-NN backend: "auto" =
+                                             # fused Pallas kernel
+                                             # (ops/knn_pallas.py; no (Q, N)
+                                             # matrix in HBM) when nn_exact
+                                             # on TPU, else XLA; or force
+                                             # "pallas" / "xla"
+    feature_backend: str = "auto"            # pick-loop backend: "auto" =
+                                             # single Pallas kernel on TPU
+                                             # (ops/features_pallas.py; the
+                                             # XLA pick loop is launch-bound),
+                                             # XLA elsewhere; or force
+                                             # "pallas" / "xla".  Pallas
+                                             # requires sector_parallel
     sector_parallel: bool = True             # pick features in all 6 sectors
                                              # at once (cross-sector +-5
                                              # suppression then applies

@@ -45,7 +45,7 @@ def _keyframe_cloud(state: MappingState, idx, cfg: PipelineConfig,
     return pts, val
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
 def loop_closure_step(state: MappingState, time: jnp.ndarray,
                       cfg: PipelineConfig):
     """Detect + ICP + graph update.  Returns (state, LoopResult)."""
@@ -86,6 +86,7 @@ def loop_closure_step(state: MappingState, time: jnp.ndarray,
         iters=cfg.loop_icp_iters,
         max_corr_dist=cfg.loop_icp_max_corr_dist,
         query_tile=cfg.nn_query_tile,
+        nn_backend=cfg.nn_backend,
     )
 
     accept = found & (fitness < cfg.history_keyframe_fitness_score)

@@ -191,9 +191,9 @@ def _map_residuals(T: Pose, corner_pts, corner_ok, surf_pts, surf_ok,
     qs = surf_pts @ T.R.T + T.t
 
     ci, cd2 = knn(qc, corner_map, corner_map_valid, 5, cfg.nn_query_tile,
-                  exact=cfg.nn_exact)
+                  exact=cfg.nn_exact, backend=cfg.nn_backend)
     si, sd2 = knn(qs, surf_map, surf_map_valid, 5, cfg.nn_query_tile,
-                  exact=cfg.nn_exact)
+                  exact=cfg.nn_exact, backend=cfg.nn_backend)
 
     c_ok = corner_ok & (cd2[:, 4] < cfg.map_nn_radius_sq)
     s_ok = surf_ok & (sd2[:, 4] < cfg.map_nn_radius_sq)
@@ -301,7 +301,7 @@ def scan_to_map(
     return T, n_last
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
 def mapping_step(
     state: MappingState,
     feats: ScanFeatures,
@@ -319,7 +319,10 @@ def mapping_step(
     ordering (mapOptmization.cpp:1348, 1353) — so stored poses and chain
     measurements see the blended pose.
 
-    Returns (new_state, mapped_pose).
+    Returns (new_state, mapped_pose).  `state` is DONATED: the keyframe pool
+    (hundreds of MB at default capacities) updates in place instead of being
+    copied every solve; callers must rebind (`state, pose = mapping_step(
+    state, ...)`) and must not touch the old pytree afterwards.
     """
     T_pred = predict_pose(state, odom_pose)
 
@@ -354,7 +357,11 @@ def mapping_step(
     full = state.n_kf >= cfg.max_keyframes
 
     def ins(arr, val):
-        return jnp.where(insert & ~full, arr.at[slot].set(val), arr)
+        # row-wise predicated update: select on the single slot row, not the
+        # whole pool array (a full-array where() would read the 100 MB surf
+        # pool twice per solve; with donated state this touches one row)
+        new_row = jnp.where(insert & ~full, val, arr[slot])
+        return arr.at[slot].set(new_row)
 
     # Keyframe blocks are stored in the sensor frame (corner_pts/surf_pts
     # already are), so later pose corrections (loop closure) re-anchor the
@@ -388,7 +395,7 @@ def mapping_step(
     return new_state, T
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
 def compact_keyframes(state: MappingState, cfg: PipelineConfig) -> MappingState:
     """Thin the pool when it approaches capacity: keep every 2nd keyframe of
     the older half [0, n_kf/2) and all of the newer half.

@@ -62,7 +62,8 @@ def frontend_step(ostate, xyz, valid, ring, bef_mapped, aft_mapped,
     return ostate, feats, opose, rel, fused, stats
 
 
-@partial(jax.jit, static_argnames=("cfg", "use_ring", "loop_every"))
+@partial(jax.jit, static_argnames=("cfg", "use_ring", "loop_every"),
+         donate_argnames=("ostate", "mstate"))
 def chunk_steps(ostate, mstate, xyz, valid, ring, frames, times,
                 cfg: PipelineConfig, use_ring: bool, loop_every: int,
                 imu_buf=None):

@@ -15,6 +15,7 @@ in column order.  Selection rules match the reference:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from lego_loam_tpu.config import PipelineConfig
@@ -38,25 +39,28 @@ def compact_segments(
     )
     keep = seg.cluster_good | ground_sampled
 
-    # Per-ring stable pack by column order: kept pixels first.
+    # Per-ring stable pack by column order: kept pixels first.  ONE
+    # multi-operand sort moves all payload columns through the sort network
+    # directly — an argsort + 5 take_along_axis costs ~0.25 ms per gather at
+    # this size on TPU, the fused sort ~0.1 ms total.
     sort_key = jnp.where(keep, cols, H + cols)
-    order = jnp.argsort(sort_key, axis=1)
-
-    def take(a):
-        return jnp.take_along_axis(a, order, axis=1)
+    rel = pixel_rel_time(img)
+    sorted_ops = jax.lax.sort(
+        (sort_key,
+         img.xyz[..., 0], img.xyz[..., 1], img.xyz[..., 2],
+         img.rng, cols, rel, ground.astype(jnp.int32)),
+        dimension=1, num_keys=1)
 
     count = jnp.sum(keep, axis=1).astype(jnp.int32)
     idx = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32), (R, H))
     valid = idx < count[:, None]
 
-    rel = pixel_rel_time(img)
-
     packed = SegmentedScan(
-        xyz=jnp.take_along_axis(img.xyz, order[..., None], axis=1),
-        rng=take(img.rng),
-        col=take(cols),
-        row_frac=take(rel),
-        ground=take(ground),
+        xyz=jnp.stack(sorted_ops[1:4], axis=-1),
+        rng=sorted_ops[4],
+        col=sorted_ops[5],
+        row_frac=sorted_ops[6],
+        ground=sorted_ops[7] > 0,
         valid=valid,
         count=count,
         outlier_xyz=jnp.zeros((cfg.max_outlier, 3), jnp.float32),

@@ -177,7 +177,20 @@ def label_features(packed: SegmentedScan, cfg: PipelineConfig):
 
     labels0 = jnp.zeros((R, W), jnp.int32)
 
-    if cfg.sector_parallel:
+    use_pallas = cfg.sector_parallel and (
+        cfg.feature_backend == "pallas"
+        or (cfg.feature_backend == "auto"
+            and jax.default_backend() == "tpu"))
+    if use_pallas:
+        # both pick loops in ONE kernel launch (the XLA loop below costs
+        # ~2.5 ms/scan in launch latency alone; the data is < 1 MB)
+        from lego_loam_tpu.ops.features_pallas import pick_features_pallas
+
+        labels, picked = pick_features_pallas(
+            curv, corner_base, surf_base, picked0, reach_l, reach_r,
+            sp_all, ep_all, ok_all, S, cfg.edge_feature_num_less,
+            cfg.edge_feature_num, cfg.surf_feature_num)
+    elif cfg.sector_parallel:
         # all sectors pick simultaneously: 24 sequential steps instead of 144
         labels, picked = picks_for(
             in_sec_all, S, labels0, picked0, corner_base, 1.0,

@@ -32,24 +32,27 @@ def _kabsch(src, dst, w):
     return Pose(R.astype(src.dtype), t.astype(src.dtype))
 
 
-@partial(jax.jit, static_argnames=("iters", "query_tile"))
+@partial(jax.jit, static_argnames=("iters", "query_tile", "nn_backend"))
 def icp_align(
     src, src_valid, dst, dst_valid, T0: Pose,
     iters: int = 30,
     max_corr_dist: float = 100.0,
     query_tile: int = 0,
+    nn_backend: str = "auto",
 ):
     """Align src onto dst starting from T0.
 
     Returns (T, fitness): T maps src into dst's frame; fitness is the mean
     squared NN distance of valid matched points at the final pose (PCL
-    getFitnessScore semantics).
+    getFitnessScore semantics).  nn_backend picks the per-iteration 1-NN
+    path (ops/knn.knn); "auto" = fused Pallas kernel on TPU (the (src, dst)
+    distance matrix otherwise re-materializes in HBM every iteration).
     """
     max_d2 = max_corr_dist * max_corr_dist
 
     def body(_, T):
         q = src @ T.R.T + T.t
-        idx, d2 = knn(q, dst, dst_valid, 1, query_tile)
+        idx, d2 = knn(q, dst, dst_valid, 1, query_tile, backend=nn_backend)
         m = src_valid & (d2[:, 0] < max_d2)
         w = m.astype(src.dtype)
         upd = _kabsch(q, dst[idx[:, 0]], w)
@@ -58,7 +61,7 @@ def icp_align(
     T = jax.lax.fori_loop(0, iters, body, T0)
 
     q = src @ T.R.T + T.t
-    idx, d2 = knn(q, dst, dst_valid, 1, query_tile)
+    idx, d2 = knn(q, dst, dst_valid, 1, query_tile, backend=nn_backend)
     m = src_valid & (d2[:, 0] < max_d2)
     n_match = jnp.sum(m)
     fitness = jnp.sum(jnp.where(m, d2[:, 0], 0.0)) / jnp.maximum(n_match, 1)

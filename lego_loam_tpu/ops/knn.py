@@ -49,7 +49,7 @@ def _topk_neg(d2, k: int, exact: bool):
 
 
 def knn(query, ref, ref_valid, k: int, query_tile: int = 0,
-        exact: bool = True):
+        exact: bool = True, backend: str = "xla"):
     """k nearest neighbors per query point.
 
     Returns (idx (Q, k) int32, d2 (Q, k) float32), ascending by distance.
@@ -57,7 +57,20 @@ def knn(query, ref, ref_valid, k: int, query_tile: int = 0,
     size to bound memory (the query is zero-padded to a tile multiple; the
     tiles run sequentially via lax.map, so prefer the largest tile memory
     allows — each extra tile is another latency-bound dispatch segment).
+
+    backend: "xla" (distance matrix + top-k), "pallas" (fused VMEM-resident
+    kernel, exact, k <= 8 — see ops/knn_pallas.py), or "auto" (the fastest
+    path measured on a v5e: Pallas when exact results are requested on TPU
+    — 1.7x over XLA exact at mapping sizes — and XLA otherwise, where the
+    fused approx_min_k partial reduction still wins).
     """
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and exact and k <= 8
+        and jax.default_backend() == "tpu")
+    if use_pallas:
+        from lego_loam_tpu.ops.knn_pallas import knn_pallas
+
+        return knn_pallas(query, ref, ref_valid, k)
     if query_tile and query.shape[0] > query_tile:
         Q = query.shape[0]
         pad = (-Q) % query_tile

@@ -13,6 +13,7 @@ TPU-native equivalent of the reference's per-point scatter loop
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from lego_loam_tpu.config import PipelineConfig
@@ -67,21 +68,43 @@ def project_scan(
 
     flat = jnp.where(ok, row * H + col, R * H)  # invalid points -> dropped slot
 
-    # Nearest-point-wins scatter: min range first, then the winning xyz.
-    rng_grid = jnp.full((R * H + 1,), INVALID_RANGE, jnp.float32)
-    rng_grid = rng_grid.at[flat].min(jnp.where(ok, rng, INVALID_RANGE))
-    winner = ok & (rng <= rng_grid[flat])
-    xyz_grid = jnp.zeros((R * H + 1, 3), jnp.float32)
-    xyz_grid = xyz_grid.at[jnp.where(winner, flat, R * H)].set(
-        jnp.where(winner[:, None], xyz, 0.0)
-    )
+    # Nearest-point-wins via sort instead of scatter: random-index scatters
+    # and gathers cost ~0.25 ms each at this size on TPU while a multi-
+    # operand sort of the same data is ~0.1 ms.  Sort points by (cell,
+    # range); the first entry of each cell run is the winner; a second
+    # single-key sort compacts the winners to the front in ascending cell
+    # order so the final scatter has sorted unique indices (the fast path).
+    rng_k = jnp.where(ok, rng, INVALID_RANGE)
+    s1 = jax.lax.sort(
+        (flat, rng_k, xyz[:, 0], xyz[:, 1], xyz[:, 2]),
+        dimension=0, num_keys=2)
+    cell, rng_s = s1[0], s1[1]
+    P = xyz.shape[0]
+    lead = jnp.concatenate(
+        [jnp.ones((1,), bool), cell[1:] != cell[:-1]]) & (cell < R * H)
+    # losers dump to unique slots beyond the grid so the scatter indices
+    # stay strictly unique AND ascending (both fast-path preconditions)
+    pos = jnp.arange(P, dtype=jnp.int32)
+    wkey = jnp.where(lead, cell, R * H + pos)
+    s2 = jax.lax.sort((wkey,) + s1[1:], dimension=0, num_keys=1)
+    wcell, wrng = s2[0], s2[1]
+    wxyz = jnp.stack(s2[2:5], axis=1)
+    win = wcell < R * H
+
+    rng_grid = jnp.full((R * H + P,), INVALID_RANGE, jnp.float32)
+    rng_grid = rng_grid.at[wcell].set(
+        jnp.where(win, wrng, INVALID_RANGE),
+        indices_are_sorted=True, unique_indices=True)
+    xyz_grid = jnp.zeros((R * H + P, 3), jnp.float32)
+    xyz_grid = xyz_grid.at[wcell].set(
+        jnp.where(win[:, None], wxyz, 0.0),
+        indices_are_sorted=True, unique_indices=True)
     rng_grid = rng_grid[: R * H].reshape(R, H)
     xyz_grid = xyz_grid[: R * H].reshape(R, H, 3)
     valid_grid = rng_grid < INVALID_RANGE
 
     # Sweep azimuth window from the first/last valid raw points
     # (imageProjection.cpp:199-209).
-    P = xyz.shape[0]
     first = jnp.argmax(valid)
     last = P - 1 - jnp.argmax(valid[::-1])
     start_ori = -jnp.arctan2(y[first], x[first])

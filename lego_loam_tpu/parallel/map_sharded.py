@@ -21,11 +21,14 @@ from lego_loam_tpu.ops.knn import knn
 
 
 def knn_sharded(query, map_pts, map_valid, k: int, mesh: Mesh,
-                axis: str = "map", query_tile: int = 0):
+                axis: str = "map", query_tile: int = 0,
+                backend: str = "xla"):
     """Global k-NN with the reference set sharded along `axis`.
 
     query: (Q, 3) replicated.  map_pts: (M, 3), M divisible by mesh[axis].
     Returns (idx (Q, k) into the global map array, d2 (Q, k)).
+    backend: per-shard search backend (see ops/knn.knn) — "pallas" runs the
+    fused VMEM kernel on each device's shard.
     """
     n_dev = mesh.shape[axis]
     M = map_pts.shape[0]
@@ -38,7 +41,7 @@ def knn_sharded(query, map_pts, map_valid, k: int, mesh: Mesh,
              out_specs=(P(), P()),
              check_vma=False)
     def run(q, pts, val):
-        li, ld2 = knn(q, pts, val, k, query_tile)
+        li, ld2 = knn(q, pts, val, k, query_tile, backend=backend)
         gi = li + jax.lax.axis_index(axis) * shard
         # gather all shards' candidates and reduce to the global k
         ai = jax.lax.all_gather(gi, axis)          # (n_dev, Q, k)

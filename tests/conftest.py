@@ -23,6 +23,14 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# persistent compile cache: the suite compiles ~100 XLA CPU programs (the
+# scan/cond pipeline ones take tens of seconds each on this 2-vCPU host);
+# caching them makes reruns minutes faster.  Gitignored, like .jax_cache/.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_per_module():

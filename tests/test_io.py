@@ -136,3 +136,27 @@ def test_stage_timer_and_metrics_recorder():
     rec.add(fps=20.0, n=7)
     out = rec.summary()
     assert abs(out["fps"]["mean"] - 15.0) < 1e-9
+
+
+def test_rosbag_example_quat_to_mat():
+    """The bag-replay driver's quaternion decode must match SO(3) algebra."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    from run_rosbag import quat_to_mat_np
+
+    # identity
+    np.testing.assert_allclose(
+        quat_to_mat_np([0.0, 0.0, 0.0, 1.0]), np.eye(3), atol=1e-7)
+    # 90 deg about z: q = (0, 0, sin45, cos45)
+    s = np.sin(np.pi / 4)
+    R = quat_to_mat_np([0.0, 0.0, s, s])
+    np.testing.assert_allclose(
+        R, [[0, -1, 0], [1, 0, 0], [0, 0, 1]], atol=1e-6)
+    # random unit quaternion: orthonormal, det +1
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal(4)
+    q /= np.linalg.norm(q)
+    R = quat_to_mat_np(q)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+    assert abs(np.linalg.det(R) - 1.0) < 1e-6

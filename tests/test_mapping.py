@@ -156,6 +156,8 @@ def test_compact_keyframes():
         loop_w=state.loop_w.at[0].set(5.0).at[1].set(5.0),
         n_loops=jnp.int32(2),
     )
+    # compact_keyframes donates the state buffers — snapshot before the call
+    kf_t_before = np.asarray(state.kf_t)
     out = mp.compact_keyframes(state, PG_CFG)
     half = n // 2
     expect_kept = [i for i in range(half) if i % 2 == 0] + list(range(half, n))
@@ -163,7 +165,7 @@ def test_compact_keyframes():
     # retained poses unchanged, in order
     for new_i, old_i in enumerate(expect_kept):
         np.testing.assert_allclose(np.asarray(out.kf_t[new_i]),
-                                   np.asarray(state.kf_t[old_i]), atol=1e-6)
+                                   kf_t_before[old_i], atol=1e-6)
     # chain measurements consistent: composing them reproduces the poses
     rebuilt = chain_compose(out, PG_CFG)
     for i in range(len(expect_kept)):

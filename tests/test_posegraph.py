@@ -162,11 +162,12 @@ def test_loop_closure_step_end_to_end():
         kf_time=jnp.asarray(times), n_kf=jnp.int32(n),
         aft_mapped=Pose(jnp.asarray(kf_R[n - 1]), jnp.asarray(kf_t[n - 1])))
 
+    # loop_closure_step donates the state buffers — snapshot before the call
+    true_last = ts[-1] - np.array([0.0, 0.0, 1.6])
+    err_before = np.linalg.norm(kf_t[n - 1] - true_last)
     state2, res = lc.loop_closure_step(state, jnp.float32(40.0), CFG)
     assert bool(res.closed), f"fitness={float(res.fitness):.3f}"
     assert float(res.fitness) < CFG.history_keyframe_fitness_score
     # latest pose pulled back toward its true position (0, 0.05, 0) wrt kf0
-    true_last = ts[-1] - np.array([0.0, 0.0, 1.6])
-    err_before = np.linalg.norm(np.asarray(state.kf_t[n - 1]) - true_last)
     err_after = np.linalg.norm(np.asarray(state2.kf_t[n - 1]) - true_last)
     assert err_after < 0.5 * err_before, f"{err_after:.3f} vs {err_before:.3f}"
