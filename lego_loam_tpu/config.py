@@ -101,6 +101,14 @@ class PipelineConfig:
     segmentation_backend: str = "auto"       # "auto" = Pallas kernel on TPU,
                                              # XLA scans elsewhere; or force
                                              # "pallas" / "xla"
+    segstats_backend: str = "auto"           # cluster size/span reduction:
+                                             # "auto" = one-hot MXU matmuls
+                                             # on TPU (no random scatters),
+                                             # scatter reductions elsewhere;
+                                             # or force "matmul" / "scatter"
+    max_clusters: int = 1024                 # compact cluster-id capacity of
+                                             # the matmul path; components
+                                             # beyond it become outliers
 
     # --- features (utility.h:120-125, featureAssociation.cpp:621-784) ---
     edge_threshold: float = 0.1
@@ -118,6 +126,24 @@ class PipelineConfig:
     deskew: bool = True                      # de-skew by sweep time; turn off
                                              # for motion-compensated data
                                              # (e.g. KITTI bins)
+    odom_mode: str = "block"                 # "block": both constraint sets
+                                             # every iteration with the
+                                             # normal equations decoupled
+                                             # into the two-step's (pitch,
+                                             # roll, tz) / (yaw, tx, ty)
+                                             # blocks — the two-step's
+                                             # conditioning at HALF its
+                                             # sequential GN depth (25 fused
+                                             # iterations vs 25 + 25);
+                                             # "two_step": surf then corner
+                                             # sequentially, the reference's
+                                             # split (featureAssociation.cpp:
+                                             # 1270-1478); "joint": fully
+                                             # coupled 6-DoF (the reference's
+                                             # unused calculateTransformation
+                                             # path, featureAssociation.cpp:
+                                             # 1480-1603; drifts on low-
+                                             # excitation paths)
     odom_outer_iters: int = 5                # correspondence refresh rounds
     odom_inner_iters: int = 5                # GN steps per refresh (5*5 = 25)
     odom_step_scale: float = 1.0             # 1.0 = full GN steps; the
@@ -132,6 +158,16 @@ class PipelineConfig:
                                              # residual > 0.5 m and stalls on
                                              # poor seeds; Huber bounds outlier
                                              # influence without rejecting signal
+    odom_scale_est: str = "mean"             # robust residual scale for the
+                                             # Huber width: "mean" (one
+                                             # reduction, no sort kernels on
+                                             # TPU; 0.845x half-normal factor)
+                                             # or "median" (masked sort)
+    odom_scale_refresh: str = "round"        # recompute the scale "round"
+                                             # (once per association round —
+                                             # the scale only moves when the
+                                             # correspondences do) or "iter"
+                                             # (every GN step)
     odom_max_step_rot_deg: float = 10.0      # trust-region clip per GN step
     odom_max_step_trans: float = 1.0
     odom_degen_eig_thresh: float = 10.0      # featureAssociation.cpp:1338
@@ -166,6 +202,17 @@ class PipelineConfig:
                                              # planes that pass the residual
                                              # check and corrupt the solve)
     mapping_process_every: int = 3           # solve every k-th scan (0.3 s at 10 Hz)
+    map_refresh_every: int = 4               # re-assemble the cached local
+                                             # map every N solves (forced
+                                             # immediately after loop
+                                             # closures / pool compaction);
+                                             # between refreshes the solve
+                                             # registers against the cached
+                                             # map — the reference's
+                                             # incremental cache
+                                             # (mapOptmization.cpp:1001-1056)
+                                             # with a deterministic policy.
+                                             # 1 = re-gather every solve
     keyframe_min_translation: float = 0.3    # mapOptmization.cpp:1360-1363
     surrounding_keyframe_search_radius: float = 50.0
     surrounding_keyframe_search_num: int = 50

@@ -117,4 +117,6 @@ def loop_closure_step(state: MappingState, time: jnp.ndarray,
 
     new_state = jax.tree_util.tree_map(
         lambda a, b: jnp.where(accept, a, b), solved, with_edge)
+    # keyframe poses moved: the cached local map must be re-assembled
+    new_state = new_state._replace(map_stale=new_state.map_stale | accept)
     return new_state, LoopResult(closed=accept, candidate=cand, fitness=fitness)

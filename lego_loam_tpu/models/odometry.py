@@ -101,9 +101,8 @@ def _assoc_surf(rel: Pose, flat: FeatureCloud, ref: FeatureCloud, cfg):
     i1, v1 = masked_argmin(d2)
     r1 = ref.ring[i1]
     dr = ref.ring[None, :] - r1[:, None]
-    rows = jnp.arange(q.shape[0])
-    d2x = d2.at[rows, i1].set(1e30)
-    i2, v2 = masked_argmin(d2x, dr == 0)
+    cols = jnp.arange(d2.shape[1])
+    i2, v2 = masked_argmin(d2, (dr == 0) & (cols[None, :] != i1[:, None]))
     i3, v3 = masked_argmin(d2, (dr != 0) & (jnp.abs(dr) <= 2))
     thr = cfg.nearest_feature_search_sq_dist
     ok = flat.valid & (v1 < thr) & (v2 < thr) & (v3 < thr)
@@ -161,7 +160,24 @@ _SURF_CHART = _chart([1, 0, 5])    # wy (pitch), wx (roll), vz
 _CORNER_CHART = _chart([2, 3, 4])  # wz (yaw), vx, vy
 
 
-def _gn_iteration(rel, chart, pts, s, resid_at, cfg):
+def _residual_scale(absd, ok, cfg):
+    """Robust scale of the active residuals, used to widen the Huber delta.
+
+    "median": masked median (a full sort — tens of sequential bitonic stages
+    on TPU).  "mean": masked mean x 0.845 (the median/mean ratio of a
+    half-normal) — one reduction, no sort; heavy-tailed early rounds inflate
+    it slightly, which only keeps a few more constraints active."""
+    if cfg.odom_scale_est == "mean":
+        n_ok = jnp.maximum(jnp.sum(ok), 1)
+        return 0.845 * jnp.sum(jnp.where(ok, absd, 0.0)) / n_ok
+    n_ok = jnp.sum(ok)
+    sorted_d = jnp.sort(jnp.where(ok, absd, jnp.inf))
+    med = sorted_d[jnp.maximum(n_ok - 1, 0) // 2]
+    return jnp.where(jnp.isfinite(med), med, 0.0)
+
+
+def _gn_iteration(rel, chart, pts, s, resid_at, cfg, med,
+                  compute_scale: bool, jac_mask=None):
     """One GN step.
 
     Residuals are evaluated at the true de-skewed points q0 = interp(rel,s)p;
@@ -171,6 +187,10 @@ def _gn_iteration(rel, chart, pts, s, resid_at, cfg):
     update as applying fully to every point (the per-point sweep-time scaling
     stays inside the warp); this also keeps the degeneracy eigen-thresholds
     on the same scale as the reference's.  resid_at(q) -> (d, qn, ok).
+
+    `med` is the robust residual scale; recomputed when compute_scale is
+    True (once per association round by default — the scale only moves when
+    the correspondences do), otherwise carried from the round start.
     """
     dof = chart.shape[1]
     q0 = warp_to_start(rel, pts, s)
@@ -185,17 +205,24 @@ def _gn_iteration(rel, chart, pts, s, resid_at, cfg):
     x0 = jnp.zeros((dof,), jnp.float32)
     d0, (qn, ok) = f(x0)
     J = jax.jacfwd(f, has_aux=True)(x0)[0]
+    if jac_mask is not None:
+        # block mode: zero the cross-block gradient entries so the normal
+        # equations decouple into the two-step's (pitch, roll, tz) /
+        # (yaw, tx, ty) blocks while both constraint sets still update every
+        # iteration (same conditioning as the sequential two-step phases at
+        # half the sequential GN depth)
+        J = J * jac_mask
+    solve = solve3 if dof == 3 else (
+        lambda A, y: jnp.linalg.solve(A, y))
 
-    # Huber weights with a median-adaptive width: at large seed error every
+    # Huber weights with a scale-adaptive width: at large seed error every
     # residual exceeds a fixed delta and a hard cutoff would empty the
-    # constraint set (no step, permanent stall).  Scaling the width with the
-    # masked median residual keeps the bulk of constraints active and
-    # tightens back to odom_robust_delta as the solve converges.
+    # constraint set (no step, permanent stall).  Widening with the robust
+    # residual scale keeps the bulk of constraints active and tightens back
+    # to odom_robust_delta as the solve converges.
     absd = jnp.abs(d0)
-    n_ok = jnp.sum(ok)
-    sorted_d = jnp.sort(jnp.where(ok, absd, jnp.inf))
-    med = sorted_d[jnp.maximum(n_ok - 1, 0) // 2]
-    med = jnp.where(jnp.isfinite(med), med, 0.0)
+    if compute_scale:
+        med = _residual_scale(absd, ok, cfg)
     delta = jnp.maximum(cfg.odom_robust_delta * qn, 0.7 * med)
     w = jnp.minimum(1.0, delta / jnp.maximum(absd, 1e-9))
     keep = ok & (w > 0.1) & jnp.isfinite(d0)
@@ -212,7 +239,7 @@ def _gn_iteration(rel, chart, pts, s, resid_at, cfg):
     H_unw = Au.T @ Au
     # closed-form 3x3 solve (ops/lin3): jnp.linalg.solve lowers to an LU
     # routine whose control flow dominates at this size
-    x = solve3(H + 1e-6 * jnp.eye(dof), g)
+    x = solve(H + 1e-6 * jnp.eye(dof), g)
     x = jnp.where(jnp.isfinite(x), x, 0.0)
 
     # trust region: scale the step down if it exceeds the per-iteration caps
@@ -229,7 +256,7 @@ def _gn_iteration(rel, chart, pts, s, resid_at, cfg):
     x = x * scale
 
     n_keep = jnp.sum(keep)
-    return x, H_unw, n_keep
+    return x, H_unw, n_keep, med
 
 
 def _degeneracy_projection(H, thresh):
@@ -240,21 +267,26 @@ def _degeneracy_projection(H, thresh):
     return (V * keepv[None, :]) @ V.T
 
 
-def _phase(rel0, chart, pts, s, make_assoc, make_resid, cfg):
+def _phase(rel0, chart, pts, s, make_assoc, make_resid, cfg, jac_mask=None):
     """One odometry phase: association rounds x GN steps with convergence
     freezing, matching featureAssociation.cpp:1666-1695 scheduling."""
     rot_thr = cfg.odom_delta_rot_deg
     trans_thr = cfg.odom_delta_trans_cm
     dof = chart.shape[1]
 
+    refresh_each_iter = cfg.odom_scale_refresh == "iter"
+
     def outer(o, carry):
-        rel, P, done_prev = carry
+        rel, P, med, done_prev = carry
         assoc = make_assoc(rel)
         resid_at = make_resid(assoc)
 
-        def gn_apply(rel, P, done, compute_proj: bool):
-            x, H, n_keep = _gn_iteration(rel, chart, pts, s, resid_at, cfg)
-            if compute_proj:
+        def gn_apply(rel, P, med, done, round_start: bool):
+            x, H, n_keep, med = _gn_iteration(
+                rel, chart, pts, s, resid_at, cfg, med,
+                compute_scale=round_start or refresh_each_iter,
+                jac_mask=jac_mask)
+            if round_start:
                 # refresh the projection at the start of every association
                 # round: a projection latched against the seed's (possibly
                 # bad) correspondences must not freeze directions for good
@@ -269,23 +301,24 @@ def _phase(rel0, chart, pts, s, make_assoc, make_resid, cfg):
             d_rot = jnp.degrees(jnp.linalg.norm((chart @ x)[:3]))
             d_trans = 100.0 * jnp.linalg.norm((chart @ x)[3:])
             done = done | (apply & (d_rot < rot_thr) & (d_trans < trans_thr))
-            return rel, P, done
+            return rel, P, med, done
 
         # a fresh association restarts convergence: a tiny step against bad
         # correspondences must not freeze later, better-associated rounds
-        rel, P, done = gn_apply(rel, P, jnp.bool_(False), True)
+        rel, P, med, done = gn_apply(rel, P, med, jnp.bool_(False), True)
 
         def inner(i, carry):
-            rel, P, done = carry
-            return gn_apply(rel, P, done, False)
+            rel, P, med, done = carry
+            return gn_apply(rel, P, med, done, False)
 
-        rel, P, done = jax.lax.fori_loop(
-            0, cfg.odom_inner_iters - 1, inner, (rel, P, done))
-        return rel, P, done
+        rel, P, med, done = jax.lax.fori_loop(
+            0, cfg.odom_inner_iters - 1, inner, (rel, P, med, done))
+        return rel, P, med, done
 
     P0 = jnp.eye(dof, dtype=jnp.float32)
-    rel, _, _ = jax.lax.fori_loop(
-        0, cfg.odom_outer_iters, outer, (rel0, P0, jnp.bool_(False))
+    rel, _, _, _ = jax.lax.fori_loop(
+        0, cfg.odom_outer_iters, outer,
+        (rel0, P0, jnp.float32(0.0), jnp.bool_(False))
     )
     return rel
 
@@ -320,37 +353,82 @@ def odometry_step(
     n_ref_s = jnp.sum(ref_s.valid)
     gate = (n_ref_c >= cfg.odom_min_last_corner) & (n_ref_s >= cfg.odom_min_last_surf)
 
-    # ---- surf phase: (pitch, roll, tz)
-    def surf_assoc(rel):
-        return _assoc_surf(rel, flat, ref_s, cfg)
+    if cfg.odom_mode in ("joint", "block"):
+        # ---- joint 6-DoF phase: both constraint sets in every iteration.
+        # Half the sequential GN depth of the two-step schedule (25 fused
+        # iterations instead of 25 + 25); the reference carries the same
+        # combined solver unused (calculateTransformation,
+        # featureAssociation.cpp:1480-1603).  Degenerate directions (e.g.
+        # yaw with no corners) are handled by the eigen projection instead
+        # of the two-step chart split.
+        F = flat.xyz.shape[0]
+        pts = jnp.concatenate([flat.xyz, sharp.xyz], axis=0)
+        ss = jnp.concatenate([flat.s, sharp.s], axis=0)
 
-    def surf_resid(assoc):
-        i1, i2, i3, ok = assoc
+        def joint_assoc(rel):
+            return (_assoc_surf(rel, flat, ref_s, cfg),
+                    _assoc_corner(rel, sharp, ref_c, cfg))
 
-        def resid_at(q):
-            d = _surf_distance(q, ref_s.xyz[i1], ref_s.xyz[i2], ref_s.xyz[i3])
-            qn = jnp.sqrt(jnp.sqrt(_safe_norm(q)))
-            return d, qn, ok
-        return resid_at
+        def joint_resid(assoc):
+            (i1, i2, i3, oks), (j1, j2, okc) = assoc
 
-    rel = _phase(state.rel, _SURF_CHART, flat.xyz, flat.s,
-                 surf_assoc, surf_resid, cfg)
+            def resid_at(q):
+                qs, qc = q[:F], q[F:]
+                ds = _surf_distance(
+                    qs, ref_s.xyz[i1], ref_s.xyz[i2], ref_s.xyz[i3])
+                dc = _corner_distance(qc, ref_c.xyz[j1], ref_c.xyz[j2])
+                qn = jnp.concatenate(
+                    [jnp.sqrt(jnp.sqrt(_safe_norm(qs))), jnp.ones_like(dc)])
+                return (jnp.concatenate([ds, dc]), qn,
+                        jnp.concatenate([oks, okc]))
+            return resid_at
 
-    # ---- corner phase: (yaw, tx, ty)
-    def corner_assoc(rel):
-        return _assoc_corner(rel, sharp, ref_c, cfg)
+        jac_mask = None
+        if cfg.odom_mode == "block":
+            # decouple the normal equations into the two-step's charts:
+            # surf rows drive (pitch wy, roll wx, vz); corner rows drive
+            # (yaw wz, vx, vy) — parallel coordinate descent on the same
+            # blocks the reference iterates sequentially
+            surf_cols = jnp.array([1.0, 1.0, 0.0, 0.0, 0.0, 1.0], jnp.float32)
+            row_is_surf = (jnp.arange(pts.shape[0]) < F).astype(jnp.float32)
+            jac_mask = (row_is_surf[:, None] * surf_cols[None, :]
+                        + (1.0 - row_is_surf)[:, None]
+                        * (1.0 - surf_cols)[None, :])
+        rel = _phase(state.rel, jnp.eye(6, dtype=jnp.float32), pts, ss,
+                     joint_assoc, joint_resid, cfg, jac_mask=jac_mask)
+    else:
+        # ---- surf phase: (pitch, roll, tz)
+        def surf_assoc(rel):
+            return _assoc_surf(rel, flat, ref_s, cfg)
 
-    def corner_resid(assoc):
-        i1, i2, ok = assoc
+        def surf_resid(assoc):
+            i1, i2, i3, ok = assoc
 
-        def resid_at(q):
-            d = _corner_distance(q, ref_c.xyz[i1], ref_c.xyz[i2])
-            qn = jnp.ones_like(d)  # corner weights are not range-normalized
-            return d, qn, ok
-        return resid_at
+            def resid_at(q):
+                d = _surf_distance(
+                    q, ref_s.xyz[i1], ref_s.xyz[i2], ref_s.xyz[i3])
+                qn = jnp.sqrt(jnp.sqrt(_safe_norm(q)))
+                return d, qn, ok
+            return resid_at
 
-    rel = _phase(rel, _CORNER_CHART, sharp.xyz, sharp.s,
-                 corner_assoc, corner_resid, cfg)
+        rel = _phase(state.rel, _SURF_CHART, flat.xyz, flat.s,
+                     surf_assoc, surf_resid, cfg)
+
+        # ---- corner phase: (yaw, tx, ty)
+        def corner_assoc(rel):
+            return _assoc_corner(rel, sharp, ref_c, cfg)
+
+        def corner_resid(assoc):
+            i1, i2, ok = assoc
+
+            def resid_at(q):
+                d = _corner_distance(q, ref_c.xyz[i1], ref_c.xyz[i2])
+                qn = jnp.ones_like(d)  # corner weights not range-normalized
+                return d, qn, ok
+            return resid_at
+
+        rel = _phase(rel, _CORNER_CHART, sharp.xyz, sharp.s,
+                     corner_assoc, corner_resid, cfg)
 
     rel = jax.tree_util.tree_map(
         lambda a, b: jnp.where(gate, a, b), rel, state.rel)

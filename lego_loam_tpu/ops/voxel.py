@@ -100,9 +100,16 @@ def voxel_downsample(
     ])
     gid = jnp.cumsum(new_group.astype(jnp.int32)) - 1
 
-    counts = jax.ops.segment_sum(sv.astype(jnp.float32), gid, num_segments=n)
+    # gid ascends (it is a cumsum over the sorted keys): declaring it sorted
+    # lets the scatter-adds take the sorted fast path.  (A scatter-free
+    # Hillis-Steele segmented suffix scan was measured at 1.8x the scatter
+    # cost here: power-of-two rolls along the lane axis lower to unaligned
+    # slices that cost far more than their bandwidth.)
+    counts = jax.ops.segment_sum(sv.astype(jnp.float32), gid, num_segments=n,
+                                 indices_are_sorted=True)
     sums = jax.ops.segment_sum(
-        jnp.where(sv[:, None], sxyz, 0.0), gid, num_segments=n
+        jnp.where(sv[:, None], sxyz, 0.0), gid, num_segments=n,
+        indices_are_sorted=True,
     )
     centroids = sums / jnp.maximum(counts[:, None], 1.0)
 
@@ -115,7 +122,8 @@ def voxel_downsample(
         return xyz_out, valid_out
     saux = jnp.stack(sorted_ops[7:7 + n_aux], axis=1)
     aux_sums = jax.ops.segment_sum(
-        jnp.where(sv[:, None], saux, 0.0), gid, num_segments=n
+        jnp.where(sv[:, None], saux, 0.0), gid, num_segments=n,
+        indices_are_sorted=True,
     )
     aux_out = aux_sums / jnp.maximum(counts[:, None], 1.0)
     aux_out = jnp.where(valid_out[:, None], aux_out[slot], 0.0)

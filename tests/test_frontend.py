@@ -177,3 +177,27 @@ def test_pallas_segmentation_matches_xla(img):
                                   CFG.label_prop_max_sweeps, interpret=True)
     lab = jnp.where(seg, lab, -1)
     np.testing.assert_array_equal(np.asarray(lab), np.asarray(seg_xla.labels))
+
+
+def test_segstats_matmul_matches_scatter(img):
+    """The MXU one-hot cluster-stats path must reproduce the scatter
+    reductions exactly (same validity per pixel)."""
+    ground = mark_ground(img, CFG)
+    seg_sc = label_components(img, ground, CFG.replace(
+        segstats_backend="scatter"))
+    seg_mm = label_components(img, ground, CFG.replace(
+        segstats_backend="matmul"))
+    np.testing.assert_array_equal(
+        np.asarray(seg_sc.cluster_good), np.asarray(seg_mm.cluster_good))
+    np.testing.assert_array_equal(
+        np.asarray(seg_sc.outlier), np.asarray(seg_mm.outlier))
+
+    # overflow behavior: with a tiny cluster cap, overflowed components all
+    # become outliers (never silently "good")
+    seg_tiny = label_components(img, ground, CFG.replace(
+        segstats_backend="matmul", max_clusters=2))
+    good_tiny = np.asarray(seg_tiny.cluster_good)
+    assert good_tiny.sum() <= np.asarray(seg_sc.cluster_good).sum()
+    assert np.array_equal(
+        good_tiny | np.asarray(seg_tiny.outlier),
+        np.asarray(seg_sc.cluster_good) | np.asarray(seg_sc.outlier))
