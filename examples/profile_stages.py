@@ -61,7 +61,7 @@ def main() -> None:
     def fe():
         return frontend_step(ostate, xyz, valid, ring,
                              mstate.bef_mapped, mstate.aft_mapped,
-                             cfg, cfg.sensor.use_ring)
+                             jnp.float32(0.0), cfg, cfg.sensor.use_ring)
 
     ms_fe = timed(fe)
 

@@ -217,6 +217,14 @@ class PipelineConfig:
     surrounding_keyframe_search_radius: float = 50.0
     surrounding_keyframe_search_num: int = 50
     imu_attitude_blend: float = 0.002        # mapOptmization.cpp:488-489
+    imu_odom_attitude_blend: float = 0.05    # AHRS attitude pull folded into
+                                             # the accumulated odometry pose
+                                             # each scan (PluginIMURotation
+                                             # analog, featureAssociation.cpp:
+                                             # 955-1042, 1697-1725; the
+                                             # reference substitutes the
+                                             # measured increment outright =
+                                             # weight 1.0).  0 disables
 
     # --- loop closure (utility.h:132-134, mapOptmization.cpp:814-945) ---
     loop_closure_enabled: bool = False

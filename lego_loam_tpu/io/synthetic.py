@@ -147,9 +147,24 @@ def raycast_swept(
     noise: float = 0.0,
     rng: np.random.Generator | None = None,
 ):
-    """Cast one motion-distorted sweep: the sensor moves from (R0, t0) at
-    sweep start to (R1, t1) at sweep end, and each column is cast from the
-    interpolated pose at its sweep time.
+    """Cast one motion-distorted sweep with constant-velocity motion from
+    (R0, t0) to (R1, t1): each column fires from the geodesic/linear
+    interpolated pose at its sweep time."""
+    pose_fn = lambda u: (_slerp(R0, R1, u), t0 + u * (t1 - t0))
+    return raycast_swept_profile(world, pose_fn, sensor, noise=noise, rng=rng)
+
+
+def raycast_swept_profile(
+    world: World,
+    pose_fn,
+    sensor: SensorSpec,
+    noise: float = 0.0,
+    rng: np.random.Generator | None = None,
+):
+    """Cast one motion-distorted sweep along an arbitrary in-sweep pose
+    profile: pose_fn(u) -> (R (3,3), t (3,)) gives the sensor world pose at
+    sweep fraction u in [0, 1] (non-constant velocity/rotation rate allowed —
+    the case the IMU de-skew path exists for).
 
     The per-column time matches ops/projection.pixel_rel_time's recovery:
     column 0 is scanned first (s=0) and time runs with azimuth decreasing
@@ -166,8 +181,9 @@ def raycast_swept(
     k = np.arange(H)
     cols = (H - k) % H
     s_frac = k / H
-    poses_R = np.stack([_slerp(R0, R1, u) for u in s_frac])  # (H, 3, 3)
-    poses_t = t0[None, :] + s_frac[:, None] * (t1 - t0)[None, :]
+    prof = [pose_fn(u) for u in s_frac]
+    poses_R = np.stack([p[0] for p in prof])                 # (H, 3, 3)
+    poses_t = np.stack([np.asarray(p[1], np.float64) for p in prof])
 
     d_sensor = ray_directions(sensor)[:, cols]            # (Rg, H, 3), k-order
     d_world = np.einsum("hij,rhj->rhi", poses_R, d_sensor)

@@ -39,8 +39,12 @@ def batch_chunk_steps(ostates, mstates, xyz, valid, ring, frames, times,
     """
 
     def one(o, m, x, v, r):
+        # compact_inline=False: the device-side compaction trigger is a
+        # lax.cond on the (batched) n_kf — under vmap it would degrade to a
+        # select that argsorts every sequence's pool at every mapping solve.
+        # The host driver below does the per-chunk check instead.
         return chunk_steps(o, m, x, v, r, frames, times,
-                           cfg, use_ring, loop_every)
+                           cfg, use_ring, loop_every, compact_inline=False)
 
     return jax.vmap(one)(ostates, mstates, xyz, valid, ring)
 

@@ -183,6 +183,90 @@ def odometry_seed(prev_rel: Pose, si: ScanImu,
     return Pose(R, t)
 
 
+def _deskew_cloud(fc, buf: ImuBuffer, t_scan, cfg: PipelineConfig):
+    """Per-point IMU de-skew correction of one feature cloud — the TPU-native
+    form of the reference's ShiftToStartIMU/TransformToStartIMU warp applied
+    per point in adjustDistortion (featureAssociation.cpp:317-390, 560-607).
+
+    The constant-velocity geodesic warp (odometry.warp_to_start) models the
+    in-sweep pose at fraction s as (exp(s log rel.R), s rel.t).  The IMU
+    measures the true in-sweep profile; this correction folds in exactly the
+    NON-CONSTANT part and leaves the endpoints to the LM estimate:
+
+        R(s)   = exp(s*wm) D(s),   D(s) = exp(-s*wm) R0^T R(t0 + s dt)
+        t(s)   = s*shift(1) + dev(s),  dev(s) = shift(s) - s*shift(1)
+
+    with wm the measured sweep rotation and shift(s) the dead-reckoned
+    position profile in the start frame.  D and dev are identity/zero at
+    s = 0 and s = 1 and under constant motion — so the corrected points
+        p~ = exp(-s*wm) (R0^T R(t_p) p + dev(s))
+    feed the UNCHANGED constant-velocity solver, which still observes the
+    full sweep motion rel; the residual warp error is second order (LM
+    rotation error x measured deviation).  Unlike the reference, which warps
+    by the full measured attitude AND re-interpolates its LM estimate over
+    the same points (double-counting the rotation), the split is exact here.
+    """
+    dt = cfg.sensor.scan_period
+    R0, v0, s0, _ = imu_sample(buf, t_scan)
+    R1, _, s1, _ = imu_sample(buf, t_scan + dt)
+    wm = so3_log(R0.T @ R1)                              # measured sweep rot
+
+    t_p = t_scan + fc.s * dt
+    Rp, _, sp, _ = imu_sample(buf, t_p)                  # (N,3,3), (N,3)
+    Rrel = jnp.einsum("ij,njk->nik", R0.T, Rp)           # R0^T R(t_p)
+    shift_s = (sp - s0) @ R0                             # R0^T(shift - s0)
+    shift_1 = R0.T @ (s1 - s0)
+    dev = shift_s - fc.s[:, None] * shift_1              # nonlinear drift
+    inner = jnp.einsum("nij,nj->ni", Rrel, fc.xyz) + dev
+    undo = so3_exp(-fc.s[:, None] * wm)                  # (N,3,3)
+    xyz = jnp.einsum("nij,nj->ni", undo, inner)
+
+    use = (buf.count >= 2) & fc.valid
+    return fc._replace(xyz=jnp.where(use[:, None], xyz, fc.xyz))
+
+
+def deskew_features(feats, buf: ImuBuffer, t_scan, cfg: PipelineConfig):
+    """Apply the per-point IMU de-skew correction to every feature cloud of a
+    scan (the reference warps the whole segmented cloud before feature
+    extraction, featureAssociation.cpp:560-607; here the correction commutes
+    with the curvature/pick masks, so it runs on the much smaller padded
+    feature sets instead of the full range image)."""
+    return feats._replace(
+        sharp=_deskew_cloud(feats.sharp, buf, t_scan, cfg),
+        less_sharp=_deskew_cloud(feats.less_sharp, buf, t_scan, cfg),
+        flat=_deskew_cloud(feats.flat, buf, t_scan, cfg),
+        less_flat=_deskew_cloud(feats.less_flat, buf, t_scan, cfg),
+        outlier=_deskew_cloud(feats.outlier, buf, t_scan, cfg),
+    )
+
+
+def fold_attitude(ostate, buf: ImuBuffer, t_scan, cfg: PipelineConfig):
+    """Blend the AHRS attitude into the accumulated odometry pose — the
+    PluginIMURotation analog (featureAssociation.cpp:955-1042 inside
+    integrateTransformation :1697-1725).  The reference substitutes the
+    measured attitude increment outright; here the pull is a configurable
+    geodesic blend (cfg.imu_odom_attitude_blend) toward the AHRS attitude
+    expressed in the odometry world frame, anchored at the first IMU-valid
+    scan.  Bounds orientation drift between mapping solves; a weight of 0
+    disables the fold."""
+    w = cfg.imu_odom_attitude_blend
+    R_end, _, _, _ = imu_sample(buf, t_scan + cfg.sensor.scan_period)
+    have = buf.count >= 2
+    set_anchor = have & ~ostate.att_anchor_valid
+    anchor = jnp.where(set_anchor, R_end, ostate.att_anchor)
+    # blend only once the anchor exists (not on the anchor-setting scan)
+    blend = have & ostate.att_anchor_valid & (w > 0.0)
+    att_pred = anchor.T @ R_end          # measured attitude in odometry frame
+    delta = so3_log(jnp.swapaxes(ostate.pose.R, -1, -2) @ att_pred)
+    R_new = ostate.pose.R @ so3_exp(w * delta)
+    R = jnp.where(blend, R_new, ostate.pose.R)
+    return ostate._replace(
+        pose=Pose(R, ostate.pose.t),
+        att_anchor=anchor,
+        att_anchor_valid=ostate.att_anchor_valid | have,
+    )
+
+
 def blend_attitude(T: Pose, buf: ImuBuffer, t, cfg: PipelineConfig) -> Pose:
     """Blend a fraction of the IMU roll/pitch into a mapped pose
     (transformUpdate analog, mapOptmization.cpp:463-496)."""

@@ -60,7 +60,10 @@ def loop_closure_step(state: MappingState, time: jnp.ndarray,
     qualify = alive & old_enough & (
         d2 < cfg.history_keyframe_search_radius ** 2)
     cand = jnp.argmin(jnp.where(qualify, d2, 1e30)).astype(jnp.int32)
-    found = jnp.any(qualify) & (state.n_loops < cfg.max_loop_edges)
+    # n_kf guard lives here (not in the host gate / chunk cond predicate) so
+    # callers can gate purely on frame counters with no n_kf host pull
+    found = (jnp.any(qualify) & (state.n_loops < cfg.max_loop_edges)
+             & (state.n_kf > 2))
 
     # current keyframe cloud at its (possibly wrong) map pose
     src, src_val = _keyframe_cloud(state, latest, cfg)

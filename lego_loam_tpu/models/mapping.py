@@ -317,7 +317,8 @@ def scan_to_map(
     return T, n_last
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+@partial(jax.jit, static_argnames=("cfg", "compact_inline"),
+         donate_argnames=("state",))
 def mapping_step(
     state: MappingState,
     feats: ScanFeatures,
@@ -325,6 +326,7 @@ def mapping_step(
     time: jnp.ndarray,
     cfg: PipelineConfig,
     imu_buf=None,
+    compact_inline: bool = True,
 ):
     """One mapping solve.  feats are the odometry's reference clouds for this
     sweep (less-sharp / less-flat at the sweep end, plus outliers) — what the
@@ -335,11 +337,24 @@ def mapping_step(
     ordering (mapOptmization.cpp:1348, 1353) — so stored poses and chain
     measurements see the blended pose.
 
+    With compact_inline (the default) the pool-thinning trigger runs
+    device-side: a lax.cond on n_kf approaching capacity, so the host loop
+    needs NO n_kf pull per scan (each int() pull is a dispatch round-trip on
+    a tunneled device, and the sync point where async device errors detonate).
+    Batched (vmapped) callers pass False — a batched cond degrades to an
+    execute-both-branches select, which would argsort the whole pool every
+    solve — and keep a host-side per-chunk check instead.
+
     Returns (new_state, mapped_pose).  `state` is DONATED: the keyframe pool
     (hundreds of MB at default capacities) updates in place instead of being
     copied every solve; callers must rebind (`state, pose = mapping_step(
     state, ...)`) and must not touch the old pytree afterwards.
     """
+    if compact_inline:
+        state = jax.lax.cond(
+            state.n_kf >= cfg.max_keyframes - 1,
+            lambda s: _compact_keyframes_impl(s, cfg), lambda s: s, state)
+
     T_pred = predict_pose(state, odom_pose)
 
     # current scan downsampled (mapOptmization.cpp:1067-1091)
@@ -435,8 +450,8 @@ def mapping_step(
     return new_state, T
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
-def compact_keyframes(state: MappingState, cfg: PipelineConfig) -> MappingState:
+def _compact_keyframes_impl(state: MappingState,
+                            cfg: PipelineConfig) -> MappingState:
     """Thin the pool when it approaches capacity: keep every 2nd keyframe of
     the older half [0, n_kf/2) and all of the newer half.
 
@@ -495,3 +510,8 @@ def compact_keyframes(state: MappingState, cfg: PipelineConfig) -> MappingState:
         n_loops=jnp.sum(ok_edge),
         map_stale=jnp.bool_(True),
     )
+
+
+compact_keyframes = partial(jax.jit, static_argnames=("cfg",),
+                            donate_argnames=("state",))(
+    _compact_keyframes_impl)

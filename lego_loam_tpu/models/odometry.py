@@ -45,6 +45,11 @@ class OdometryState(NamedTuple):
     rel: Pose                # last relative motion (constant-velocity seed)
     ref_corner: FeatureCloud  # previous less-sharp corners, at sweep end
     ref_surf: FeatureCloud    # previous less-flat surfs, at sweep end
+    # AHRS attitude at the first IMU-valid sweep end: maps later AHRS
+    # attitudes into the odometry world frame for the attitude fold
+    # (imu.fold_attitude, the PluginIMURotation analog)
+    att_anchor: jnp.ndarray      # (3, 3)
+    att_anchor_valid: jnp.ndarray  # bool
 
 
 def init_state(cfg: PipelineConfig) -> OdometryState:
@@ -53,6 +58,8 @@ def init_state(cfg: PipelineConfig) -> OdometryState:
         rel=Pose.identity(),
         ref_corner=empty_feature_cloud(cfg.max_less_sharp),
         ref_surf=empty_feature_cloud(cfg.max_less_flat),
+        att_anchor=jnp.eye(3, dtype=jnp.float32),
+        att_anchor_valid=jnp.bool_(False),
     )
 
 
@@ -448,6 +455,6 @@ def odometry_step(
     new_ref_s = feats.less_flat._replace(
         xyz=warp_to_end(rel, feats.less_flat.xyz, feats.less_flat.s))
 
-    new_state = OdometryState(
+    new_state = state._replace(
         pose=pose, rel=rel, ref_corner=new_ref_c, ref_surf=new_ref_s)
     return new_state, pose, rel

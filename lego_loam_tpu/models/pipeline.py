@@ -44,14 +44,32 @@ from lego_loam_tpu.utils.math3d import Pose
 
 
 @partial(jax.jit, static_argnames=("cfg", "use_ring"))
-def frontend_step(ostate, xyz, valid, ring, bef_mapped, aft_mapped,
-                  cfg: PipelineConfig, use_ring: bool):
+def frontend_step(ostate, xyz, valid, ring, bef_mapped, aft_mapped, t,
+                  cfg: PipelineConfig, use_ring: bool, imu_buf=None):
     """scan -> features -> odometry pose -> fused pose.  One device
-    program (fusion folded in to save a dispatch round-trip)."""
+    program (fusion folded in to save a dispatch round-trip).
+
+    When imu_buf is given, the whole reference IMU path runs inside this
+    same program (featureAssociation.cpp ordering): odometry seeding from
+    the integrated gyro/velocity (updateInitialGuess, :1639-1664), per-point
+    IMU-attitude de-skew + dead-reckoned drift correction of the feature
+    clouds (ShiftToStartIMU/TransformToStartIMU applied in adjustDistortion,
+    :317-390, 560-607), and the AHRS attitude fold into the accumulated
+    odometry pose (PluginIMURotation inside integrateTransformation,
+    :955-1042, 1697-1725)."""
+    if imu_buf is not None:
+        si = imu_mod.scan_imu(imu_buf, t, cfg)
+        ostate = ostate._replace(
+            rel=imu_mod.odometry_seed(ostate.rel, si, cfg.sensor.scan_period))
     img = project_scan(xyz, valid, cfg, ring if use_ring else None)
     packed, o_rel, ground, seg = segment_scan(img, cfg)
     feats = extract_features(packed, o_rel, cfg)
+    if imu_buf is not None and cfg.deskew:
+        feats = imu_mod.deskew_features(feats, imu_buf, t, cfg)
     ostate, opose, rel = odo.odometry_step(ostate, feats, cfg)
+    if imu_buf is not None:
+        ostate = imu_mod.fold_attitude(ostate, imu_buf, t, cfg)
+        opose = ostate.pose
     fused = aft_mapped.compose(bef_mapped.inverse().compose(opose))
     # one packed stats vector: a single host transfer per scan (each
     # separate int() pull costs a full round-trip on a tunneled device)
@@ -62,11 +80,12 @@ def frontend_step(ostate, xyz, valid, ring, bef_mapped, aft_mapped,
     return ostate, feats, opose, rel, fused, stats
 
 
-@partial(jax.jit, static_argnames=("cfg", "use_ring", "loop_every"),
+@partial(jax.jit,
+         static_argnames=("cfg", "use_ring", "loop_every", "compact_inline"),
          donate_argnames=("ostate", "mstate"))
 def chunk_steps(ostate, mstate, xyz, valid, ring, frames, times,
                 cfg: PipelineConfig, use_ring: bool, loop_every: int,
-                imu_buf=None):
+                imu_buf=None, compact_inline: bool = True):
     """C scans in ONE device program: `lax.scan` over the per-scan step with
     the mapping / loop-closure cadences expressed as `lax.cond` on the frame
     index.  This is the throughput mode for sequence replay — zero host
@@ -86,14 +105,10 @@ def chunk_steps(ostate, mstate, xyz, valid, ring, frames, times,
     def step(carry, inp):
         ostate, mstate = carry
         xyz_k, valid_k, ring_k, frame_k, t_k = inp
-        if with_imu:
-            si = imu_mod.scan_imu(imu_buf, t_k, cfg)
-            seed = imu_mod.odometry_seed(
-                ostate.rel, si, cfg.sensor.scan_period)
-            ostate = ostate._replace(rel=seed)
         ostate, feats, opose, rel, _fused_fe, stats = frontend_step(
             ostate, xyz_k, valid_k, ring_k,
-            mstate.bef_mapped, mstate.aft_mapped, cfg, use_ring)
+            mstate.bef_mapped, mstate.aft_mapped, t_k, cfg, use_ring,
+            imu_buf=imu_buf if with_imu else None)
 
         do_map = (frame_k % cfg.mapping_process_every) == 0
         mfeats = feats._replace(
@@ -103,12 +118,18 @@ def chunk_steps(ostate, mstate, xyz, valid, ring, frames, times,
             do_map,
             lambda m: mp.mapping_step(
                 m, mfeats, opose, t_k, cfg,
-                imu_buf=imu_buf if with_imu else None),
+                imu_buf=imu_buf if with_imu else None,
+                compact_inline=compact_inline),
             lambda m: (m, m.aft_mapped),
             mstate)
 
         if cfg.loop_closure_enabled:
-            do_loop = ((frame_k % loop_every) == 0) & (mstate.n_kf > 2)
+            # frame-count-only predicate: frame_k is shared (unbatched) under
+            # the fleet vmap (models/batch.py), so the cond stays a true
+            # conditional instead of degrading to an execute-both-branches
+            # select that would run the pose-graph solve every scan.  The
+            # n_kf>2 guard lives inside loop_closure_step as a masked no-op.
+            do_loop = (frame_k % loop_every) == 0
             mstate, res = jax.lax.cond(
                 do_loop,
                 lambda m: lc.loop_closure_step(m, t_k, cfg),
@@ -197,46 +218,46 @@ class LegoLoamPipeline:
         ring_arr = (jnp.asarray(ring, jnp.int32) if ring is not None
                     else jnp.zeros(xyz.shape[0], jnp.int32))
 
-        if self.imu_used:
-            imu_dev = self.imu_host.to_device()
-            si = imu_mod.scan_imu(imu_dev, jnp.float32(t), cfg)
-            seed = imu_mod.odometry_seed(self.ostate.rel, si, cfg.sensor.scan_period)
-            self.ostate = self.ostate._replace(rel=seed)
-
+        imu_arg = self.imu_host.to_device() if self.imu_used else None
         self.ostate, feats, opose, rel, fused_fe, stats = frontend_step(
             self.ostate, xyz, valid, ring_arr,
-            self.mstate.bef_mapped, self.mstate.aft_mapped, cfg, use_ring)
+            self.mstate.bef_mapped, self.mstate.aft_mapped, jnp.float32(t),
+            cfg, use_ring, imu_buf=imu_arg)
 
+        # NO host syncs in the steady-state loop: the pool-compaction trigger
+        # runs device-side inside mapping_step (lax.cond on n_kf) and the
+        # loop-closure gate is frame-count-only (n_kf guard inside the jit),
+        # so every branch below dispatches without an int() pull — the
+        # reference's free-running node loops (featureAssociation.cpp:
+        # 1817-1886) with zero per-scan round-trips.
         mapped = None
-        loop_closed = False
+        loop_closed: bool | jnp.ndarray = False
         if self.frame % cfg.mapping_process_every == 0:
-            # thin the keyframe pool before it saturates (checked rarely:
-            # the n_kf pull is a host round-trip)
-            if (self.frame % (32 * cfg.mapping_process_every) == 0
-                    and int(self.mstate.n_kf) >= cfg.max_keyframes - 40):
-                self.mstate = mp.compact_keyframes(self.mstate, cfg)
             mfeats = feats._replace(
                 less_sharp=self.ostate.ref_corner,
                 less_flat=self.ostate.ref_surf)
             self.mstate, mpose = mp.mapping_step(
                 self.mstate, mfeats, opose, jnp.float32(t), cfg,
-                imu_buf=self.imu_host.to_device() if self.imu_used else None)
+                imu_buf=imu_arg)
             mapped = mpose
             self.last_mapped = mpose
 
         # loop-closure cadence is independent of the mapping cadence
         # (the reference's 1 Hz thread analog)
         if (cfg.loop_closure_enabled
-                and self.frame % self.loop_check_every == 0
-                and int(self.mstate.n_kf) > 2):
+                and self.frame % self.loop_check_every == 0):
             self.mstate, res = lc.loop_closure_step(
                 self.mstate, jnp.float32(t), cfg)
-            loop_closed = bool(res.closed)
+            loop_closed = (bool(res.closed) if self.collect_stats
+                           else res.closed)
 
-        # if mapping or a loop correction updated the latch this scan,
-        # re-fuse against the fresh state
+        # if mapping ran or a loop check may have updated the latch this
+        # scan, re-fuse against the fresh state (decided from host frame
+        # counters only — testing the device-side `closed` flag would sync)
+        loop_ran = (cfg.loop_closure_enabled
+                    and self.frame % self.loop_check_every == 0)
         fused = (_fuse_jit(self.mstate, opose)
-                 if (mapped is not None or loop_closed) else fused_fe)
+                 if (mapped is not None or loop_ran) else fused_fe)
         if self.collect_stats:
             fused_t, stats_v = jax.device_get((fused.t, stats))
             self.trajectory.append(np.asarray(fused_t))
@@ -286,12 +307,8 @@ class LegoLoamPipeline:
         times = jnp.float32(t0) + jnp.arange(C, dtype=jnp.float32) \
             * cfg.sensor.scan_period
 
-        # pool thinning: at most ceil(C / mapping_process_every) insertions
-        # this chunk — one host pull per chunk keeps the check exact
-        reserve = max(40, -(-C // cfg.mapping_process_every) + 1)
-        if int(self.mstate.n_kf) >= cfg.max_keyframes - reserve:
-            self.mstate = mp.compact_keyframes(self.mstate, cfg)
-
+        # pool thinning happens device-side inside each mapping_step
+        # (compact_inline) — no n_kf host pull per chunk
         self.ostate, self.mstate, outs = chunk_steps(
             self.ostate, self.mstate, xyz, valid, ring_arr, frames, times,
             cfg, use_ring, self.loop_check_every,

@@ -1,0 +1,289 @@
+"""Fully-sharded scan-to-map back-end step over a device mesh.
+
+Composes the two sharding patterns (map-block partitioning + edge-sharded
+pose graph) into ONE mapping-step equivalent — the multi-host configuration
+of the back-end (SURVEY.md §2.6 P5; the reference has no multi-node story at
+all).  Layout:
+
+  * keyframe FEATURE BLOCKS (the hundreds-of-MB arrays) shard along the
+    keyframe axis; pose-level arrays (kf_R/kf_t/meas, ~100 KB) replicate —
+    collectives then move only (Q, 5) candidate sets and 6-dof reductions,
+    never map points;
+  * local-map assembly runs per shard: each device selects the in-radius
+    keyframes IT owns, transforms them by the replicated poses and voxel-
+    downsamples its submap — the expensive gather/dedup is 1/n per device;
+  * scan-to-map 5-NN runs per shard, then the per-shard candidates
+    (distances AND coordinates, so no cross-shard gather is ever needed)
+    all-gather over ICI and reduce to the global 5 nearest — bitwise the
+    same neighbor sets as the single-device path;
+  * line/plane fits + the 6-DoF GN run replicated (Q is tiny);
+  * the pose-graph refinement reuses the edge-sharded psum CG
+    (parallel/graph.solve_pose_graph_sharded).
+
+Reference equivalents: mapOptmization.cpp:956-1065 (local map),
+1093-1327 (association + GN), 1353-1454 (keyframe insertion).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from lego_loam_tpu.config import PipelineConfig
+from lego_loam_tpu.models.mapping import (
+    MappingState,
+    _fit_lines,
+    _fit_planes,
+    predict_pose,
+)
+from lego_loam_tpu.models.odometry import (
+    _corner_distance,
+    _degeneracy_projection,
+    _safe_norm,
+)
+from lego_loam_tpu.ops.knn import knn
+from lego_loam_tpu.ops.voxel import voxel_downsample
+from lego_loam_tpu.utils.math3d import Pose, so3_exp
+
+
+def _shard_local_map(kf_R, kf_t, blocks, valids, n_kf, center, offset,
+                     n_cap: int, radius: float, leaf: float, out_cap: int):
+    """Per-shard local-map assembly: in-radius top-n_cap keyframes owned by
+    this shard, transformed and voxel-downsampled to out_cap points."""
+    Ks = blocks.shape[0]
+    gidx = offset + jnp.arange(Ks)
+    alive = gidx < n_kf
+    d2 = jnp.sum((kf_t[gidx] - center) ** 2, axis=1)
+    usable = alive & (d2 <= radius * radius)
+    _, sel = jax.lax.top_k(-jnp.where(usable, d2, 1e30), min(n_cap, Ks))
+    sel_ok = jnp.take(usable, sel)
+
+    b = blocks[sel]
+    v = valids[sel] & sel_ok[:, None]
+    R = kf_R[gidx[sel]]
+    t = kf_t[gidx[sel]]
+    pts = jnp.einsum("sij,scj->sci", R, b) + t[:, None, :]
+    return voxel_downsample(pts.reshape(-1, 3), v.reshape(-1), leaf, out_cap)
+
+
+def _knn5_global(q, pts, val, axis: str):
+    """Per-shard 5-NN + all-gather reduce; returns the 5 global nearest map
+    POINTS per query (Q, 5, 3) and validity, identical on every device."""
+    li, ld2 = knn(q, pts, val, 5, 0, backend="xla")
+    lp = pts[li]                                   # (Q, 5, 3)
+    ad2 = jax.lax.all_gather(ld2, axis)            # (n, Q, 5)
+    ap = jax.lax.all_gather(lp, axis)              # (n, Q, 5, 3)
+    n = ad2.shape[0]
+    Q = q.shape[0]
+    ad2 = jnp.moveaxis(ad2, 0, 1).reshape(Q, n * 5)
+    ap = jnp.moveaxis(ap, 0, 1).reshape(Q, n * 5, 3)
+    nd2, sel = jax.lax.top_k(-ad2, 5)
+    nn_pts = jnp.take_along_axis(ap, sel[..., None], axis=1)
+    return nn_pts, -nd2
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=16)
+def _sharded_solver(cfg: PipelineConfig, mesh: Mesh, axis: str):
+    """Build (once per (cfg, mesh)) the jitted shard_map solve program."""
+    n_dev = mesh.shape[axis]
+    K = cfg.max_keyframes
+    assert K % n_dev == 0, "max_keyframes must divide the mesh axis"
+    Ks = K // n_dev
+    S_cap = max(cfg.surrounding_keyframe_search_num // n_dev, 1)
+    mc_cap = cfg.max_map_corner // n_dev
+    ms_cap = cfg.max_map_surf // n_dev
+
+    pool_spec = P(axis)
+    rep = P()
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh,
+             in_specs=(pool_spec, pool_spec, pool_spec, pool_spec,
+                       pool_spec, pool_spec,
+                       rep, rep, rep, rep, rep, rep, rep,
+                       Pose(rep, rep)),
+             out_specs=(Pose(rep, rep), rep),
+             check_vma=False)
+    def solve(kf_c, kf_cv, kf_s, kf_sv, kf_o, kf_ov,
+              kf_R, kf_t, n_kf, cpts, cok, spts, sok, T_pred):
+        offset = jax.lax.axis_index(axis) * Ks
+        center = T_pred.t
+        cm, cmv = _shard_local_map(
+            kf_R, kf_t, kf_c, kf_cv, n_kf, center, offset, S_cap,
+            cfg.surrounding_keyframe_search_radius, cfg.leaf_map_corner,
+            mc_cap)
+        # surf + outlier blocks form the surf map (reference combines them)
+        so_blocks = jnp.concatenate([kf_s, kf_o], axis=1)
+        so_valid = jnp.concatenate([kf_sv, kf_ov], axis=1)
+        sm, smv = _shard_local_map(
+            kf_R, kf_t, so_blocks, so_valid, n_kf, center, offset, S_cap,
+            cfg.surrounding_keyframe_search_radius, cfg.leaf_map_surf,
+            ms_cap)
+
+        n_map_c = jax.lax.psum(jnp.sum(cmv), axis)
+        n_map_s = jax.lax.psum(jnp.sum(smv), axis)
+        map_gate = (n_map_c > 10) & (n_map_s > 100)
+
+        def assoc(T):
+            qc = cpts @ T.R.T + T.t
+            qs = spts @ T.R.T + T.t
+            cnn, cd2 = _knn5_global(qc, cm, cmv, axis)
+            snn, sd2 = _knn5_global(qs, sm, smv, axis)
+            c_ok = cok & (cd2[:, 4] < cfg.map_nn_radius_sq)
+            s_ok = sok & (sd2[:, 4] < cfg.map_nn_radius_sq)
+            la, lb, c_ok = _fit_lines(cnn, c_ok, cfg)
+            pn, pd, s_ok = _fit_planes(snn, s_ok, cfg)
+            return (la, lb, c_ok), (pn, pd, s_ok)
+
+        def gn_step(T, P6, done, a, compute_proj):
+            (la, lb, c_ok), (pn, pd, s_ok) = a
+
+            def f(x):
+                w, v = x[:3], x[3:]
+                qc = cpts @ T.R.T + T.t
+                qs = spts @ T.R.T + T.t
+                qc = qc + jnp.cross(jnp.broadcast_to(w, qc.shape), qc) + v
+                qs = qs + jnp.cross(jnp.broadcast_to(w, qs.shape), qs) + v
+                dc = _corner_distance(qc, la, lb)
+                ds = jnp.sum(pn * qs, axis=-1) + pd
+                return jnp.concatenate([dc, ds])
+
+            x0 = jnp.zeros((6,), jnp.float32)
+            d0 = f(x0)
+            J = jax.jacfwd(f)(x0)
+            qs0 = spts @ T.R.T + T.t
+            wc = 1.0 - 0.9 * jnp.abs(d0[: cpts.shape[0]])
+            ws = 1.0 - 0.9 * jnp.abs(d0[cpts.shape[0]:]) / jnp.sqrt(
+                jnp.sqrt(_safe_norm(qs0)))
+            w = jnp.concatenate([wc, ws])
+            ok = jnp.concatenate([c_ok, s_ok])
+            keep = ok & (w > 0.1) & jnp.isfinite(d0)
+            wk = jnp.where(keep, w, 0.0)
+            A = J * wk[:, None]
+            H = A.T @ A
+            g = A.T @ (-wk * d0)
+            x = jnp.linalg.solve(H + 1e-6 * jnp.eye(6), g)
+            x = jnp.where(jnp.isfinite(x), x, 0.0)
+            if compute_proj:
+                P6 = _degeneracy_projection(H, cfg.map_degen_eig_thresh)
+            x = P6 @ x
+            n_keep = jnp.sum(keep)
+            apply = (~done) & map_gate & (n_keep >= cfg.map_min_constraints)
+            T_new = Pose(so3_exp(x[:3]) @ T.R, T.t + x[3:])
+            T = jax.tree_util.tree_map(
+                lambda p, q: jnp.where(apply, p, q), T_new, T)
+            done = done | (apply
+                           & (jnp.degrees(_safe_norm(x[:3]))
+                              < cfg.map_delta_rot_deg)
+                           & (100.0 * _safe_norm(x[3:])
+                              < cfg.map_delta_trans_cm))
+            return T, P6, done, n_keep
+
+        T = T_pred
+        P6 = jnp.eye(6, dtype=jnp.float32)
+        done = jnp.bool_(False)
+        n_keep = jnp.int32(0)
+        for it in range(min(cfg.map_assoc_iters, cfg.map_iters)):
+            a = assoc(T)
+            T, P6, done, n_keep = gn_step(T, P6, done, a, it == 0)
+        return T, n_keep
+
+    return solve
+
+
+@lru_cache(maxsize=16)
+def _sharded_inserter(cfg: PipelineConfig, mesh: Mesh, axis: str):
+    n_dev = mesh.shape[axis]
+    Ks = cfg.max_keyframes // n_dev
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=(P(axis), P(), P(), P()),
+             out_specs=P(axis), check_vma=False)
+    def ins_shard(pool, val, slot_, gate):
+        offset = jax.lax.axis_index(axis) * Ks
+        lslot = jnp.clip(slot_ - offset, 0, Ks - 1)
+        here = gate & (slot_ >= offset) & (slot_ < offset + Ks)
+        new_row = jnp.where(here, val, pool[lslot])
+        return pool.at[lslot].set(new_row)
+
+    return ins_shard
+
+
+def backend_step_sharded(
+    state: MappingState,
+    corner_pts, corner_ok, surf_pts, surf_ok,
+    odom_pose: Pose,
+    time,
+    cfg: PipelineConfig,
+    mesh: Mesh,
+    axis: str = "map",
+):
+    """One full sharded mapping solve.  corner/surf are the downsampled
+    current-scan clouds (the front end's voxel output).  Returns
+    (new_state, mapped_pose, n_constraints) with the same insertion/latch
+    semantics as models/mapping.mapping_step (minus the cached-map fast
+    path — each solve re-gathers its shard, already 1/n of the single-chip
+    cost).  Compiled programs are cached per (cfg, mesh, axis)."""
+    K = cfg.max_keyframes
+    T_pred = predict_pose(state, odom_pose)
+
+    new_T, n_keep = _sharded_solver(cfg, mesh, axis)(
+        state.kf_corner, state.kf_corner_valid,
+        state.kf_surf, state.kf_surf_valid,
+        state.kf_outlier, state.kf_outlier_valid,
+        state.kf_R, state.kf_t, state.n_kf,
+        corner_pts, corner_ok, surf_pts, surf_ok, T_pred)
+
+    # ---- keyframe insertion (replicated poses; sharded block writes) ----
+    has_kf = state.n_kf > 0
+    last_t = state.kf_t[jnp.maximum(state.n_kf - 1, 0)]
+    moved = _safe_norm(new_T.t - last_t) >= cfg.keyframe_min_translation
+    insert = (~has_kf) | moved
+    full = state.n_kf >= K
+    slot = jnp.minimum(state.n_kf, K - 1)
+
+    def ins_rep(arr, val):
+        new_row = jnp.where(insert & ~full, val, arr[slot])
+        return arr.at[slot].set(new_row)
+
+    ins_shard = _sharded_inserter(cfg, mesh, axis)
+    gate = insert & ~full
+    prev_idx = jnp.maximum(state.n_kf - 1, 0)
+    T_prev = Pose(state.kf_R[prev_idx], state.kf_t[prev_idx])
+    Z = T_prev.inverse().compose(new_T)
+
+    def pad_to(a, cap):
+        if a.shape[0] >= cap:
+            return a[:cap]
+        pads = [(0, cap - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, pads)
+
+    new_state = state._replace(
+        kf_R=ins_rep(state.kf_R, new_T.R),
+        kf_t=ins_rep(state.kf_t, new_T.t),
+        kf_meas_R=ins_rep(state.kf_meas_R, Z.R),
+        kf_meas_t=ins_rep(state.kf_meas_t, Z.t),
+        kf_time=ins_rep(state.kf_time, jnp.asarray(time, jnp.float32)),
+        kf_corner=ins_shard(
+            state.kf_corner, pad_to(corner_pts, cfg.kf_corner_cap),
+            slot, gate),
+        kf_corner_valid=ins_shard(
+            state.kf_corner_valid, pad_to(corner_ok, cfg.kf_corner_cap),
+            slot, gate),
+        kf_surf=ins_shard(
+            state.kf_surf, pad_to(surf_pts, cfg.kf_surf_cap), slot, gate),
+        kf_surf_valid=ins_shard(
+            state.kf_surf_valid, pad_to(surf_ok, cfg.kf_surf_cap),
+            slot, gate),
+        n_kf=jnp.where(gate, state.n_kf + 1, state.n_kf),
+        bef_mapped=odom_pose,
+        aft_mapped=new_T,
+    )
+    return new_state, new_T, n_keep

@@ -116,3 +116,77 @@ def test_batch_sharded_over_mesh():
     assert np.isfinite(np.asarray(fused_t)).all()
     # the batch axis must still be partitioned on the output state
     assert mstates.kf_t.sharding.spec == P("fleet")
+
+
+def test_batch_loop_closure_gate_stays_conditional():
+    """The loop-closure cadence cond must survive vmap as a true conditional
+    (predicate is the shared frame counter, unbatched) — if it degraded to an
+    execute-both-branches select, the pose-graph solve would run every scan
+    for every sequence.  Counted structurally: enabling loop closure must add
+    conditional regions to the lowered batched program, not inline the solve.
+    """
+    import lego_loam_tpu.models.mapping as mp
+    import lego_loam_tpu.models.odometry as odo
+
+    B, C, N = 2, 4, CFG.sensor.n_scan * CFG.sensor.horizon_scan
+
+    def lower(cfg):
+        o1 = odo.init_state(cfg)
+        m1 = mp.init_state(cfg)
+        rep = lambda t: jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (B,) + a.shape), t)
+        args = (rep(o1), rep(m1),
+                jnp.zeros((B, C, N, 3), jnp.float32),
+                jnp.zeros((B, C, N), bool),
+                jnp.zeros((B, C, N), jnp.int32),
+                jnp.arange(C, dtype=jnp.int32),
+                jnp.arange(C, dtype=jnp.float32))
+        return batch_chunk_steps.lower(*args, cfg, True, 2).as_text()
+
+    txt_off = lower(CFG.replace(loop_closure_enabled=False))
+    txt_on = lower(CFG.replace(loop_closure_enabled=True))
+    n_off = txt_off.count("stablehlo.case") + txt_off.count(" conditional")
+    n_on = txt_on.count("stablehlo.case") + txt_on.count(" conditional")
+    assert n_on > n_off, (
+        f"loop-on lowering has {n_on} conditionals vs {n_off} without — the "
+        "loop gate degraded to a select under vmap")
+
+
+def test_batch_matches_individual_with_loop_closure():
+    """Equivalence of batched vs per-sequence replay with the loop-closure
+    cadence active (the gate path runs even when no closure fires)."""
+    cfg = CFG.replace(loop_closure_enabled=True,
+                      max_loop_edges=8, pg_cg_iters=16, pg_gn_iters=2)
+    n, C = 8, 4
+    seq_a = _scans(n, seed=4, arc=0.35 * np.pi)
+    seq_b = _scans(n, seed=7, arc=-0.3 * np.pi)
+
+    refs = []
+    for seq in (seq_a, seq_b):
+        pipe = LegoLoamPipeline(cfg, collect_stats=False, loop_check_every=2)
+        fused = []
+        for i in range(0, n, C):
+            xyz = np.stack([s[0] for s in seq[i:i + C]])
+            val = np.stack([s[1] for s in seq[i:i + C]])
+            ring = np.stack([s[2] for s in seq[i:i + C]])
+            fused.append(np.asarray(
+                pipe.process_chunk(xyz, val, ring).fused_poses.t))
+        refs.append((np.concatenate(fused), int(pipe.mstate.n_kf)))
+
+    bp = BatchPipeline(cfg, batch=2, loop_check_every=2)
+    fused_b = []
+    for i in range(0, n, C):
+        xyz = np.stack([
+            np.stack([s[0] for s in seq[i:i + C]]) for seq in (seq_a, seq_b)])
+        val = np.stack([
+            np.stack([s[1] for s in seq[i:i + C]]) for seq in (seq_a, seq_b)])
+        ring = np.stack([
+            np.stack([s[2] for s in seq[i:i + C]]) for seq in (seq_a, seq_b)])
+        res = bp.process_chunk(xyz, val, ring)
+        fused_b.append(np.asarray(res.fused_poses.t))
+    fused_b = np.concatenate(fused_b, axis=1)
+
+    n_kf = bp.keyframe_counts()
+    for b, (fused_ref, nk_ref) in enumerate(refs):
+        np.testing.assert_allclose(fused_b[b], fused_ref, atol=2e-2)
+        assert int(n_kf[b]) == nk_ref
