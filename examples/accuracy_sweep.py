@@ -24,6 +24,10 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--frames", type=int, default=36)
     ap.add_argument("--configs", type=str, default="")
+    ap.add_argument("--precision", type=str, default="",
+                    help="jax default_matmul_precision override, e.g. "
+                         "'highest' (float32 MXU passes) — isolates bf16 "
+                         "matmul error from algorithmic deltas")
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -31,6 +35,8 @@ def main() -> None:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.precision:
+        jax.config.update("jax_default_matmul_precision", args.precision)
     import jax.numpy as jnp
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

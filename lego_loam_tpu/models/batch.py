@@ -27,9 +27,11 @@ from lego_loam_tpu.config import PipelineConfig
 from lego_loam_tpu.models import mapping as mp
 from lego_loam_tpu.models import odometry as odo
 from lego_loam_tpu.models.pipeline import ChunkResult, chunk_steps
+from lego_loam_tpu.utils.precision import f32_matmuls
 
 
 @partial(jax.jit, static_argnames=("cfg", "use_ring", "loop_every"))
+@f32_matmuls
 def batch_chunk_steps(ostates, mstates, xyz, valid, ring, frames, times,
                       cfg: PipelineConfig, use_ring: bool, loop_every: int):
     """vmap of chunk_steps over a leading batch axis.

@@ -26,6 +26,7 @@ from lego_loam_tpu.models.posegraph import (
 from lego_loam_tpu.ops.icp import icp_align
 from lego_loam_tpu.ops.voxel import voxel_downsample
 from lego_loam_tpu.utils.math3d import Pose
+from lego_loam_tpu.utils.precision import f32_matmuls
 
 
 class LoopResult(NamedTuple):
@@ -46,6 +47,7 @@ def _keyframe_cloud(state: MappingState, idx, cfg: PipelineConfig,
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+@f32_matmuls
 def loop_closure_step(state: MappingState, time: jnp.ndarray,
                       cfg: PipelineConfig):
     """Detect + ICP + graph update.  Returns (state, LoopResult)."""

@@ -37,6 +37,7 @@ from lego_loam_tpu.ops.lin3 import eigvalsh3, principal_axis3, solve3
 from lego_loam_tpu.ops.voxel import voxel_downsample
 from lego_loam_tpu.types import ScanFeatures
 from lego_loam_tpu.utils.math3d import Pose, so3_exp
+from lego_loam_tpu.utils.precision import f32_matmuls
 
 
 class MappingState(NamedTuple):
@@ -220,6 +221,7 @@ def _map_residuals(T: Pose, corner_pts, corner_ok, surf_pts, surf_ok,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+@f32_matmuls
 def scan_to_map(
     T0: Pose,
     corner_pts, corner_ok, surf_pts, surf_ok,
@@ -319,6 +321,7 @@ def scan_to_map(
 
 @partial(jax.jit, static_argnames=("cfg", "compact_inline"),
          donate_argnames=("state",))
+@f32_matmuls
 def mapping_step(
     state: MappingState,
     feats: ScanFeatures,
@@ -514,4 +517,4 @@ def _compact_keyframes_impl(state: MappingState,
 
 compact_keyframes = partial(jax.jit, static_argnames=("cfg",),
                             donate_argnames=("state",))(
-    _compact_keyframes_impl)
+    f32_matmuls(_compact_keyframes_impl))

@@ -36,6 +36,7 @@ from lego_loam_tpu.ops.knn import masked_argmin, sq_dist_matrix
 from lego_loam_tpu.ops.lin3 import solve3
 from lego_loam_tpu.types import FeatureCloud, ScanFeatures, empty_feature_cloud
 from lego_loam_tpu.utils.math3d import Pose, so3_exp, so3_log
+from lego_loam_tpu.utils.precision import f32_matmuls
 
 _EPS = 1e-12
 
@@ -331,6 +332,7 @@ def _phase(rel0, chart, pts, s, make_assoc, make_resid, cfg, jac_mask=None):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+@f32_matmuls
 def odometry_step(
     state: OdometryState, feats: ScanFeatures, cfg: PipelineConfig
 ):

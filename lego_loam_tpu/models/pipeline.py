@@ -36,14 +36,17 @@ from lego_loam_tpu.models import mapping as mp
 from lego_loam_tpu.models import odometry as odo
 from lego_loam_tpu.models.fusion import fuse_pose
 
-_fuse_jit = jax.jit(fuse_pose)
 from lego_loam_tpu.ops.compaction import segment_scan
 from lego_loam_tpu.ops.features import extract_features
 from lego_loam_tpu.ops.projection import project_scan
 from lego_loam_tpu.utils.math3d import Pose
+from lego_loam_tpu.utils.precision import f32_matmuls
+
+_fuse_jit = jax.jit(f32_matmuls(fuse_pose))
 
 
 @partial(jax.jit, static_argnames=("cfg", "use_ring"))
+@f32_matmuls
 def frontend_step(ostate, xyz, valid, ring, bef_mapped, aft_mapped, t,
                   cfg: PipelineConfig, use_ring: bool, imu_buf=None):
     """scan -> features -> odometry pose -> fused pose.  One device
@@ -83,6 +86,7 @@ def frontend_step(ostate, xyz, valid, ring, bef_mapped, aft_mapped, t,
 @partial(jax.jit,
          static_argnames=("cfg", "use_ring", "loop_every", "compact_inline"),
          donate_argnames=("ostate", "mstate"))
+@f32_matmuls
 def chunk_steps(ostate, mstate, xyz, valid, ring, frames, times,
                 cfg: PipelineConfig, use_ring: bool, loop_every: int,
                 imu_buf=None, compact_inline: bool = True):

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from lego_loam_tpu.config import PipelineConfig
+from lego_loam_tpu.utils.precision import f32_matmuls
 from lego_loam_tpu.models.mapping import MappingState
 from lego_loam_tpu.utils.math3d import Pose, so3_exp
 
@@ -126,6 +127,7 @@ def _cg(matvec, b, iters):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+@f32_matmuls
 def solve_pose_graph(state: MappingState, cfg: PipelineConfig) -> MappingState:
     """Batch GN over the full graph; returns the state with corrected
     keyframe poses (the aft_mapped latch is corrected by the same delta as
@@ -169,6 +171,7 @@ def solve_pose_graph(state: MappingState, cfg: PipelineConfig) -> MappingState:
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+@f32_matmuls
 def chain_compose(state: MappingState, cfg: PipelineConfig) -> MappingState:
     """Closed-form optimum when the graph has no loop edges: compose the
     chain measurements from the prior — bit-equivalent to what iSAM2 returns

@@ -14,6 +14,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from lego_loam_tpu.utils.precision import f32_matmuls
+
 from lego_loam_tpu.ops.knn import knn
 from lego_loam_tpu.utils.math3d import Pose
 
@@ -33,6 +35,7 @@ def _kabsch(src, dst, w):
 
 
 @partial(jax.jit, static_argnames=("iters", "query_tile", "nn_backend"))
+@f32_matmuls
 def icp_align(
     src, src_valid, dst, dst_valid, T0: Pose,
     iters: int = 30,

@@ -39,8 +39,11 @@ def _topk_neg(d2, k: int, exact: bool):
     """Smallest-k along the last axis.  The approximate path uses the
     TPU-optimized partial-reduction kernel (jax.lax.approx_min_k), ~10x
     faster than full top_k at >0.95 recall — a missed true neighbor only
-    swaps one of five nearly-equidistant map points, which the robust
-    weights absorb."""
+    swaps one of five nearly-equidistant map points.  Measured on the chip
+    (examples/accuracy_sweep.py, 36-scan synthetic trajectory): the full
+    default path (approx NN + Pallas kernels + block GN) lands 0.083 m RMSE
+    vs 0.072 m for the reference-faithful exact paths — an ~1 cm
+    trajectory-level cost."""
     if exact:
         nd2, nidx = jax.lax.top_k(-d2, k)
         return nidx.astype(jnp.int32), -nd2

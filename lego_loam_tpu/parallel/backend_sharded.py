@@ -46,6 +46,7 @@ from lego_loam_tpu.models.odometry import (
     _safe_norm,
 )
 from lego_loam_tpu.ops.knn import knn
+from lego_loam_tpu.utils.precision import f32_matmuls
 from lego_loam_tpu.ops.voxel import voxel_downsample
 from lego_loam_tpu.utils.math3d import Pose, so3_exp
 
@@ -104,6 +105,7 @@ def _sharded_solver(cfg: PipelineConfig, mesh: Mesh, axis: str):
     rep = P()
 
     @jax.jit
+    @f32_matmuls
     @partial(shard_map, mesh=mesh,
              in_specs=(pool_spec, pool_spec, pool_spec, pool_spec,
                        pool_spec, pool_spec,
@@ -204,6 +206,7 @@ def _sharded_inserter(cfg: PipelineConfig, mesh: Mesh, axis: str):
     Ks = cfg.max_keyframes // n_dev
 
     @jax.jit
+    @f32_matmuls
     @partial(shard_map, mesh=mesh, in_specs=(P(axis), P(), P(), P()),
              out_specs=P(axis), check_vma=False)
     def ins_shard(pool, val, slot_, gate):

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from lego_loam_tpu.config import PipelineConfig
+from lego_loam_tpu.utils.precision import f32_matmuls
 from lego_loam_tpu.models.mapping import MappingState
 from lego_loam_tpu.models.posegraph import _apply_delta, _vee_chordal
 from lego_loam_tpu.utils.math3d import Pose
@@ -146,6 +147,7 @@ def _gn_core(edges: EdgeList, R, t, cfg: PipelineConfig, axis: str | None):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+@f32_matmuls
 def solve_pose_graph_single(state: MappingState, cfg: PipelineConfig):
     """Single-device reference path through the edge-list formulation."""
     edges = build_edge_list(state, cfg)
@@ -169,6 +171,7 @@ def solve_pose_graph_sharded(state: MappingState, cfg: PipelineConfig,
     from jax import shard_map
 
     @jax.jit
+    @f32_matmuls
     @partial(shard_map, mesh=mesh,
              in_specs=(EdgeList(*(P(axis) for _ in range(7))), P(), P()),
              out_specs=(P(), P()),

@@ -18,6 +18,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from lego_loam_tpu.ops.knn import knn
+from lego_loam_tpu.utils.precision import f32_matmuls
 
 
 def knn_sharded(query, map_pts, map_valid, k: int, mesh: Mesh,
@@ -36,6 +37,7 @@ def knn_sharded(query, map_pts, map_valid, k: int, mesh: Mesh,
     shard = M // n_dev
 
     @jax.jit
+    @f32_matmuls
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(axis), P(axis)),
              out_specs=(P(), P()),
