@@ -151,13 +151,23 @@ class PipelineConfig:
                                              # (featureAssociation.cpp:1321),
                                              # which under-corrects ~28% of
                                              # the seed error per scan
-    odom_robust_delta: float = 0.15          # Huber width (m): w=min(1,delta/|d|).
+    odom_robust_delta: float = 0.03          # Huber width (m): w=min(1,delta/|d|).
                                              # Replaces the reference's linear
                                              # reject 1-1.8|d| (featureAssociation
                                              # .cpp:1139), which discards any
                                              # residual > 0.5 m and stalls on
                                              # poor seeds; Huber bounds outlier
-                                             # influence without rejecting signal
+                                             # influence without rejecting
+                                             # signal.  Width: the adaptive
+                                             # floor (0.7x robust scale) rules
+                                             # the early rounds, so delta only
+                                             # binds near convergence where it
+                                             # suppresses the nearest-neighbor
+                                             # discretization bias; 0.03 cuts
+                                             # open-loop drift 5x vs the former
+                                             # 0.15 on synthetic courtyards at
+                                             # equal cost (15-scan end error
+                                             # 0.034 m vs 0.172 m)
     odom_scale_est: str = "mean"             # robust residual scale for the
                                              # Huber width: "mean" (one
                                              # reduction, no sort kernels on
