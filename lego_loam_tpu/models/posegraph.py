@@ -170,33 +170,6 @@ def solve_pose_graph(state: MappingState, cfg: PipelineConfig) -> MappingState:
     return state._replace(kf_R=R, kf_t=t, aft_mapped=aft)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-@f32_matmuls
-def chain_compose(state: MappingState, cfg: PipelineConfig) -> MappingState:
-    """Closed-form optimum when the graph has no loop edges: compose the
-    chain measurements from the prior — bit-equivalent to what iSAM2 returns
-    for a pure odometry chain."""
-    K = cfg.max_keyframes
-
-    def step(carry, z):
-        R_prev, t_prev = carry
-        zR, zt = z
-        R = R_prev @ zR
-        t = t_prev + jnp.einsum("ij,j->i", R_prev, zt)
-        return (R, t), (R, t)
-
-    # slot 0's measurement is the pose of keyframe 0 itself (prior chart)
-    (_, _), (Rs, ts) = jax.lax.scan(
-        step, (state.kf_R[0], state.kf_t[0]),
-        (state.kf_meas_R[1:], state.kf_meas_t[1:]))
-    R = jnp.concatenate([state.kf_R[:1], Rs], axis=0)
-    t = jnp.concatenate([state.kf_t[:1], ts], axis=0)
-    alive = (jnp.arange(K) < state.n_kf)
-    R = jnp.where(alive[:, None, None], R, state.kf_R)
-    t = jnp.where(alive[:, None], t, state.kf_t)
-    return state._replace(kf_R=R, kf_t=t)
-
-
 def distribute_loop_error(state: MappingState, i, j, Z: Pose,
                           cfg: PipelineConfig) -> MappingState:
     """Warm start after adding loop edge i -> j with measurement Z: spread

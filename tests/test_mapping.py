@@ -144,7 +144,6 @@ def test_compact_keyframes():
     import jax.numpy as jnp
 
     from tests.test_posegraph import CFG as PG_CFG, _chain_state
-    from lego_loam_tpu.models.posegraph import chain_compose
 
     n = 40
     state, trues = _chain_state(n, yaw_step=0.1)
@@ -167,10 +166,14 @@ def test_compact_keyframes():
         np.testing.assert_allclose(np.asarray(out.kf_t[new_i]),
                                    kf_t_before[old_i], atol=1e-6)
     # chain measurements consistent: composing them reproduces the poses
-    rebuilt = chain_compose(out, PG_CFG)
-    for i in range(len(expect_kept)):
-        np.testing.assert_allclose(np.asarray(rebuilt.kf_t[i]),
-                                   np.asarray(out.kf_t[i]), atol=1e-3)
+    R = np.asarray(out.kf_R[0])
+    tt = np.asarray(out.kf_t[0])
+    for i in range(1, len(expect_kept)):
+        zR = np.asarray(out.kf_meas_R[i])
+        zt = np.asarray(out.kf_meas_t[i])
+        tt = tt + R @ zt
+        R = R @ zR
+        np.testing.assert_allclose(tt, np.asarray(out.kf_t[i]), atol=1e-3)
     # loop edge 0 survived and was remapped; edge 1 (endpoint 7 thinned) dropped
     assert int(out.n_loops) == 1
     assert int(out.loop_i[0]) == expect_kept.index(n - 1)

@@ -76,14 +76,6 @@ def _chain_state(n, drift_per_step=np.zeros(3), yaw_step=0.2, step_len=1.0):
     return state, trues
 
 
-def test_chain_compose_restores_measurements():
-    state, trues = _chain_state(20, drift_per_step=np.array([0.05, -0.02, 0.01]))
-    fixed = pg.chain_compose(state, CFG)
-    for i in [0, 5, 12, 19]:
-        np.testing.assert_allclose(np.asarray(fixed.kf_t[i]), trues[i][1], atol=1e-4)
-        np.testing.assert_allclose(np.asarray(fixed.kf_R[i]), trues[i][0], atol=1e-5)
-
-
 def test_posegraph_loop_correction():
     """Drifted circular chain + exact loop edge back to pose 0: the solve
     must pull the loop end near the truth."""
