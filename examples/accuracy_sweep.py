@@ -23,6 +23,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--frames", type=int, default=36)
+    ap.add_argument("--sensor", type=str, default="vlp16")
     ap.add_argument("--configs", type=str, default="")
     ap.add_argument("--precision", type=str, default="",
                     help="jax default_matmul_precision override, e.g. "
@@ -50,6 +51,7 @@ def main() -> None:
     from lego_loam_tpu.models.pipeline import LegoLoamPipeline
 
     base = dict(deskew=False, max_keyframes=256)
+    sensor = args.sensor
     VARIANTS = {
         "default": {},
         "exact_nn": dict(nn_exact=True),
@@ -69,17 +71,18 @@ def main() -> None:
 
     world = syn.default_world(seed=0)
     n = args.frames
+    spec = config_for(sensor).sensor
     poses = syn.circle_trajectory(96, radius=12.0, arc=0.9 * np.pi)[:n]
     gt = np.asarray([t for (_, t) in poses]) - poses[0][1]
     scans = []
     for k, (R, t) in enumerate(poses):
-        xyz, valid, ring = syn.raycast(world, R, t, VLP := config_for(
-            "vlp16").sensor, noise=0.02, rng=np.random.default_rng(k))
+        xyz, valid, ring = syn.raycast(world, R, t, spec, noise=0.02,
+                                       rng=np.random.default_rng(k))
         scans.append((jnp.asarray(xyz, jnp.float32), jnp.asarray(valid),
                       jnp.asarray(ring, jnp.int32)))
 
     for name in names:
-        cfg = config_for("vlp16", **base, **VARIANTS[name])
+        cfg = config_for(sensor, **base, **VARIANTS[name])
         t0 = time.perf_counter()
         pipe = LegoLoamPipeline(cfg, collect_stats=False)
         for s in scans:

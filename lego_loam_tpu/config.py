@@ -332,6 +332,16 @@ DEFAULT_CONFIG = PipelineConfig()
 
 
 def config_for(sensor: str | SensorSpec, **kw) -> PipelineConfig:
-    """Build a config for a sensor preset, with keyword overrides."""
+    """Build a config for a sensor preset, with keyword overrides.
+
+    Per-scan feature capacities scale with the ring count (the dataclass
+    defaults are sized for 16 rings; a 64-beam sensor yields ~4x the feature
+    candidates, and silently keeping the 16-ring caps drops features until
+    odometry diverges).  Explicit keyword overrides always win."""
     spec = SENSOR_PRESETS[sensor] if isinstance(sensor, str) else sensor
+    scale = max(1, -(-spec.n_scan // 16))          # ceil(n_scan / 16)
+    for key, base in (("max_sharp", 256), ("max_less_sharp", 2048),
+                      ("max_flat", 512), ("max_less_flat", 4096),
+                      ("max_outlier", 2048)):
+        kw.setdefault(key, base * scale)
     return PipelineConfig(sensor=spec, **kw)
