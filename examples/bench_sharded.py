@@ -69,7 +69,7 @@ def main() -> None:
     state = state._replace(kf_t=jnp.asarray(kf_t), n_kf=jnp.int32(24))
     ms = timed(lambda: solve_pose_graph_sharded(state, cfg, mesh, axis="map"))
     print(f"pose-graph solve (edge-sharded, {cfg.pg_gn_iters} GN x "
-          f"{cfg.pg_cg_iters} CG): {ms:8.1f} ms")
+          f"exact direct): {ms:8.1f} ms")
 
     # map-sharded 5-NN
     rng = np.random.default_rng(0)

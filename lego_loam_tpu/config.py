@@ -300,8 +300,16 @@ class PipelineConfig:
                                              # reference ordering)
 
     # --- pose graph (replaces gtsam; models/posegraph.py) ---
-    pg_gn_iters: int = 8
-    pg_cg_iters: int = 48
+    pg_gn_iters: int = 6                     # outer Gauss-Newton iterations;
+                                             # each inner solve is EXACT
+                                             # (block-tridiagonal factorization
+                                             # + Woodbury over loop edges), so
+                                             # the outer count only tracks the
+                                             # chordal nonlinearity
+    pg_damping: float = 1e-6                 # Levenberg diagonal added to the
+                                             # normal blocks (stabilizes the
+                                             # 6x6 factorization; far below
+                                             # every active information weight)
     pg_rot_sigma: float = 2e-3               # odometry edge noise (rot, rad).
     pg_trans_sigma: float = 0.01             # odometry edge noise (trans, m).
                                              # Realistic scan-to-map noise; the
@@ -310,7 +318,14 @@ class PipelineConfig:
                                              # mapOptmization.cpp:347-350),
                                              # which makes the chain so stiff a
                                              # loop factor barely corrects it
-    pg_prior_sigma: float = 1e-4
+    pg_prior_sigma: float = 1e-4             # gauge prior on pose 0.  The
+                                             # ~7-decade information spread
+                                             # (prior 1e8 / chain 1e4-2.5e5 /
+                                             # loop ~10) is harmless to the
+                                             # direct solver — it factorizes the
+                                             # chain exactly instead of
+                                             # iterating on it (the round-3 CG
+                                             # solver stalled here)
 
     @property
     def segment_theta(self) -> float:

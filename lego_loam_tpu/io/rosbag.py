@@ -49,13 +49,20 @@ def _records(buf: bytes, off: int = 0) -> Iterator[tuple[dict, bytes]]:
     while off + 8 <= n:
         (hlen,) = struct.unpack_from("<I", buf, off)
         off += 4
+        if off + hlen + 4 > n:
+            raise ValueError(
+                f"truncated bag record header at offset {off - 4}")
         header = _parse_header(buf[off : off + hlen])
         off += hlen
         (dlen,) = struct.unpack_from("<I", buf, off)
         off += 4
+        if off + dlen > n:
+            raise ValueError(f"truncated bag record data at offset {off - 4}")
         data = buf[off : off + dlen]
         off += dlen
         yield header, data
+    if off != n:
+        raise ValueError(f"{n - off} trailing bytes after last bag record")
 
 
 @dataclass
@@ -87,7 +94,13 @@ _PC2_DTYPES = {
 
 def parse_pointcloud2(data: bytes) -> dict:
     """Returns {t, frame, xyz (N,3) f32, ring (N,) i32 | None,
-    intensity (N,) f32 | None}."""
+    intensity (N,) f32 | None}.
+
+    Handles arbitrary field offsets/strides (sparse point_step with
+    padding, extra vendor fields, float64 coordinates, count>1 fields —
+    the first element is taken, matching rosbag/PCL behavior).  Raises a
+    clear ValueError on big-endian clouds, missing x/y/z, unknown field
+    dtypes, or a data section shorter than height*width*point_step."""
     (t, frame), off = _read_header_msg(data, 0)
     height, width = struct.unpack_from("<II", data, off)
     off += 8
@@ -99,25 +112,44 @@ def parse_pointcloud2(data: bytes) -> dict:
         foffset, dtype, count = struct.unpack_from("<IBI", data, off)
         off += 9
         fields.append((name, foffset, dtype, count))
-    off += 1  # is_bigendian
+    (is_bigendian,) = struct.unpack_from("<B", data, off)
+    off += 1
+    if is_bigendian:
+        raise ValueError("big-endian PointCloud2 not supported")
     point_step, row_step = struct.unpack_from("<II", data, off)
     off += 8
     (dlen,) = struct.unpack_from("<I", data, off)
     off += 4
-    raw = np.frombuffer(data, np.uint8, count=dlen, offset=off)
+    raw = np.frombuffer(data, np.uint8, count=min(dlen, len(data) - off),
+                        offset=off)
     off += dlen
     n = height * width
+    if raw.size < n * point_step:
+        raise ValueError(
+            f"PointCloud2 data truncated: {raw.size} bytes for "
+            f"{n} x {point_step}-byte points")
     raw = raw[: n * point_step].reshape(n, point_step)
 
-    def take(name):
+    def take(name, required=False):
         for fname, foff, dt, cnt in fields:
             if fname == name:
+                if dt not in _PC2_DTYPES:
+                    raise ValueError(
+                        f"PointCloud2 field {name!r} has unknown dtype {dt}")
                 npdt = _PC2_DTYPES[dt]
                 w = np.dtype(npdt).itemsize
+                if foff + w > point_step:
+                    raise ValueError(
+                        f"PointCloud2 field {name!r} at offset {foff} "
+                        f"overruns point_step {point_step}")
                 return raw[:, foff : foff + w].copy().view(npdt)[:, 0]
+        if required:
+            raise ValueError(f"PointCloud2 missing required field {name!r}")
         return None
 
-    x, y, z = take("x"), take("y"), take("z")
+    x = take("x", required=True)
+    y = take("y", required=True)
+    z = take("z", required=True)
     xyz = np.stack([x, y, z], axis=1).astype(np.float32)
     ring = take("ring")
     intensity = take("intensity")

@@ -125,13 +125,14 @@ def imu_sample(buf: ImuBuffer, t):
 
 
 class ScanImu(NamedTuple):
-    """Per-scan IMU summary consumed by odometry and mapping."""
+    """Per-scan IMU summary consumed by odometry and mapping.  (Per-point
+    drift for de-skew is recomputed from the buffer directly in
+    _deskew_cloud — no sweep-total drift field here.)"""
 
     valid: jnp.ndarray      # bool: buffer had usable samples
     att_start: jnp.ndarray  # (3, 3) attitude at sweep start
     rel_R: jnp.ndarray      # (3, 3) sweep rotation from integrated gyro
     velo_delta: jnp.ndarray  # (3,) velocity change over the sweep (start body)
-    shift_vec: jnp.ndarray  # (3,) nonlinear drift over the sweep (start body)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -144,9 +145,6 @@ def scan_imu(buf: ImuBuffer, t_scan, cfg: PipelineConfig) -> ScanImu:
     R1, v1, s1, a1 = imu_sample(buf, t_scan + dt)
 
     rel_R = so3_exp(a1 - a0)  # integrated body rates over the sweep
-    # drift beyond the constant-velocity model, in the start body frame
-    drift_w = s1 - s0 - v0 * dt
-    shift_vec = R0.T @ drift_w
 
     # Linear-acceleration part of the velocity change: subtract the
     # rotation-induced component ((rel_R - I) v0_body) so a steady turn
@@ -164,7 +162,6 @@ def scan_imu(buf: ImuBuffer, t_scan, cfg: PipelineConfig) -> ScanImu:
         att_start=jnp.where(valid, R0, eye),
         rel_R=jnp.where(valid, rel_R, eye),
         velo_delta=jnp.where(valid, dv_lin, 0.0),
-        shift_vec=jnp.where(valid, shift_vec, 0.0),
     )
 
 
@@ -248,15 +245,23 @@ def fold_attitude(ostate, buf: ImuBuffer, t_scan, cfg: PipelineConfig):
     geodesic blend (cfg.imu_odom_attitude_blend) toward the AHRS attitude
     expressed in the odometry world frame, anchored at the first IMU-valid
     scan.  Bounds orientation drift between mapping solves; a weight of 0
-    disables the fold."""
+    disables the fold.
+
+    The anchor stored is pose_anchor @ R_end_anchor^T — the rotation from
+    the AHRS world frame into the odometry frame AT the anchor-setting
+    scan — so the blend target anchor @ R_end stays correct even when the
+    IMU becomes valid after the vehicle has already rotated (round-3
+    ADVICE: anchoring on R_end alone assumed an identity odometry pose at
+    that scan, a persistent bias afterwards)."""
     w = cfg.imu_odom_attitude_blend
     R_end, _, _, _ = imu_sample(buf, t_scan + cfg.sensor.scan_period)
     have = buf.count >= 2
     set_anchor = have & ~ostate.att_anchor_valid
-    anchor = jnp.where(set_anchor, R_end, ostate.att_anchor)
+    anchor = jnp.where(set_anchor, ostate.pose.R @ R_end.T,
+                       ostate.att_anchor)
     # blend only once the anchor exists (not on the anchor-setting scan)
     blend = have & ostate.att_anchor_valid & (w > 0.0)
-    att_pred = anchor.T @ R_end          # measured attitude in odometry frame
+    att_pred = anchor @ R_end            # measured attitude in odometry frame
     delta = so3_log(jnp.swapaxes(ostate.pose.R, -1, -2) @ att_pred)
     R_new = ostate.pose.R @ so3_exp(w * delta)
     R = jnp.where(blend, R_new, ostate.pose.R)

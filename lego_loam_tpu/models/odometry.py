@@ -46,9 +46,10 @@ class OdometryState(NamedTuple):
     rel: Pose                # last relative motion (constant-velocity seed)
     ref_corner: FeatureCloud  # previous less-sharp corners, at sweep end
     ref_surf: FeatureCloud    # previous less-flat surfs, at sweep end
-    # AHRS attitude at the first IMU-valid sweep end: maps later AHRS
-    # attitudes into the odometry world frame for the attitude fold
-    # (imu.fold_attitude, the PluginIMURotation analog)
+    # AHRS-world -> odometry-world rotation latched at the first IMU-valid
+    # sweep (pose.R @ R_end^T at that scan): maps later AHRS attitudes into
+    # the odometry frame for the attitude fold (imu.fold_attitude, the
+    # PluginIMURotation analog)
     att_anchor: jnp.ndarray      # (3, 3)
     att_anchor_valid: jnp.ndarray  # bool
 

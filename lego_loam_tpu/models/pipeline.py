@@ -160,7 +160,10 @@ class FrameResult:
     odom_pose: Pose
     fused_pose: Pose
     mapped_pose: Pose | None
-    loop_closed: bool
+    loop_closed: "bool | jnp.ndarray"  # with collect_stats=False this is a
+                                       # DEVICE bool (truthiness-testing it
+                                       # forces the host sync that mode
+                                       # exists to avoid — fetch it lazily)
     stats: dict
     wall_ms: float
 

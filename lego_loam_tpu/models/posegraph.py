@@ -9,24 +9,30 @@ same graph as one batch Gauss-Newton program, structured for TPU:
     vectorized slice of the keyframe pool, loop edges a padded array;
   * rotation residuals use the chordal form 0.5*vee(E - E^T) (smooth
     polynomial of the entries — no branchy log map in the autodiff path);
-  * the normal equations are solved matrix-free by conjugate gradients,
-    where each Hx product is one jvp+vjp through the residual function —
-    per-edge batched arithmetic, no sparse matrix assembly.  This is the
-    structure that shards across a device mesh: edges partition, and the
-    CG reductions become psums over ICI (parallel/distributed_graph.py);
-  * without loop edges the optimum of prior+chain is exactly the recursive
-    composition of the measurements (what iSAM2 returns in the default
-    loop-closure-off configuration) — solved in closed form;
-  * a new loop edge first pre-distributes its error along the chain
-    (linear interpolation between the endpoints), then GN+CG polishes —
-    the warm start covers the low-frequency mode CG is slowest on.
+  * each Gauss-Newton step is solved EXACTLY by exploiting the graph
+    topology: the chain + prior part of the normal matrix is block-
+    tridiagonal (6x6 blocks) and is factorized by a block-Thomas
+    recursion (one lax.scan over the pool); the loop edges are a
+    low-rank correction (6 rows each) folded in by the Woodbury
+    identity.  Total cost is O(K) block ops + one small (6L x 6L)
+    dense solve — no Krylov iteration, so the solution is exact at any
+    conditioning.  (An unpreconditioned CG formulation used through
+    round 3 stalled on the low-frequency chain modes once the
+    information spread spanned ~7 decades; the direct factorization is
+    impervious to the spread, so the gtsam-matching noise defaults need
+    no rebalancing.)
+  * the same per-edge 6x6 Jacobian blocks shard across a device mesh:
+    each shard accumulates partial D/U/loop blocks and the gradient for
+    its edges, one psum combines them over ICI, and the (tiny) recursive
+    solve runs replicated (parallel/graph.py).
 
 Noise defaults deviate from the reference deliberately: gtsam is fed
 odometry variances of 1e-8 (0.1 mm std) against loop variances of ~0.3
 (utility.h / mapOptmization.cpp:347-350, 932-934), which makes a single
 loop factor's correction microscopic relative to the chain's stiffness.
 Our defaults use realistic scan-to-map noise so loop closures actually
-close; the reference values are reachable through PipelineConfig.
+close; the reference values are reachable through PipelineConfig (and,
+unlike the CG solver they used to stall, the direct solve handles them).
 """
 
 from __future__ import annotations
@@ -106,24 +112,194 @@ def graph_residuals(R, t, state: MappingState, cfg: PipelineConfig):
     return jnp.concatenate([r_chain, r_loop, r_prior], axis=0)
 
 
-def _cg(matvec, b, iters):
-    """Plain conjugate gradients for H x = b (H SPD)."""
-    x0 = jnp.zeros_like(b)
+# ---------------------------------------------------------------------------
+# Per-edge linearization: 6x6 Jacobian blocks of one weighted between/prior
+# residual with respect to the left-multiplicative tangents of its two
+# endpoint poses.  jacfwd of a 6-vector function — 12 forward passes of a
+# handful of 3x3 products per edge, batched over all edges with vmap.
+# ---------------------------------------------------------------------------
 
-    def body(_, carry):
-        x, r, p, rs = carry
-        Hp = matvec(p)
-        denom = jnp.sum(p * Hp)
-        alpha = jnp.where(denom > 1e-12, rs / denom, 0.0)
-        x = x + alpha * p
-        r = r - alpha * Hp
-        rs_new = jnp.sum(r * r)
-        beta = jnp.where(rs > 1e-12, rs_new / rs, 0.0)
-        p = r + beta * p
-        return x, r, p, rs_new
+def _edge_residual_chart(xi, xj, Ri, ti, Rj, tj, ZR, Zt, wr, wt, is_prior):
+    """Weighted residual of one edge at tangents (xi, xj) around (Ri..tj).
 
-    out = jax.lax.fori_loop(0, iters, body, (x0, b, b, jnp.sum(b * b)))
-    return out[0]
+    is_prior selects the prior form (depends on the dst pose only); both
+    branches are smooth, so jacfwd through the select is exact.
+    """
+    Ri2 = so3_exp(xi[:3]) @ Ri
+    Rj2 = so3_exp(xj[:3]) @ Rj
+    ti2 = ti + xi[3:]
+    tj2 = tj + xj[3:]
+    rel_R = Ri2.T @ Rj2
+    rel_t = Ri2.T @ (tj2 - ti2)
+    E_R = ZR.T @ rel_R
+    E_t = ZR.T @ (rel_t - Zt)
+    r_between = jnp.concatenate([_vee_chordal(E_R) * wr, E_t * wt])
+    r_prior = jnp.concatenate([_vee_chordal(Rj2) * wr, tj2 * wt])
+    return jnp.where(is_prior, r_prior, r_between)
+
+
+def edge_blocks(Ri, ti, Rj, tj, ZR, Zt, wr, wt, is_prior):
+    """Batched (r, Ji, Jj) for edges: r (..., 6), Ji/Jj (..., 6, 6)."""
+    z = jnp.zeros((6,), jnp.float32)
+
+    def one(Ri, ti, Rj, tj, ZR, Zt, wr, wt, ip):
+        f = lambda xi, xj: _edge_residual_chart(
+            xi, xj, Ri, ti, Rj, tj, ZR, Zt, wr, wt, ip)
+        r = f(z, z)
+        Ji = jax.jacfwd(f, argnums=0)(z, z)
+        Jj = jax.jacfwd(f, argnums=1)(z, z)
+        return r, Ji, Jj
+
+    return jax.vmap(one)(Ri, ti, Rj, tj, ZR, Zt, wr, wt, is_prior)
+
+
+# ---------------------------------------------------------------------------
+# Block-tridiagonal direct solver (block-Thomas recursion as a lax.scan).
+# M has 6x6 diagonal blocks D_k and super-diagonal blocks U_k (coupling
+# pose k to k+1); M is SPD.  Factorize once, then solve for a batch of
+# right-hand sides in two sweeps.
+# ---------------------------------------------------------------------------
+
+def tridiag_factor(D, U):
+    """Returns Sinv (K, 6, 6): inverses of the Schur-complement diagonals
+    S_0 = D_0,  S_k = D_k - U_{k-1}^T S_{k-1}^{-1} U_{k-1}."""
+    U_prev = jnp.roll(U, 1, axis=0).at[0].set(0.0)
+
+    def step(Sinv_prev, inp):
+        Dk, Up = inp
+        S = Dk - Up.T @ Sinv_prev @ Up
+        Sinv = jnp.linalg.inv(S)
+        return Sinv, Sinv
+
+    _, Sinv = jax.lax.scan(step, jnp.zeros((6, 6), D.dtype), (D, U_prev))
+    return Sinv
+
+
+def tridiag_solve(Sinv, U, B):
+    """Solve M X = B for B (K, 6, m) given the factorization of M."""
+    U_prev = jnp.roll(U, 1, axis=0).at[0].set(0.0)
+    Sinv_prev = jnp.roll(Sinv, 1, axis=0).at[0].set(0.0)
+    m = B.shape[-1]
+
+    def fwd(y_prev, inp):
+        Bk, Up, Sp = inp
+        y = Bk - Up.T @ (Sp @ y_prev)
+        return y, y
+
+    _, Y = jax.lax.scan(fwd, jnp.zeros((6, m), B.dtype),
+                        (B, U_prev, Sinv_prev))
+
+    def bwd(x_next, inp):
+        yk, Sk, Uk = inp
+        x = Sk @ (yk - Uk @ x_next)
+        return x, x
+
+    _, X = jax.lax.scan(bwd, jnp.zeros((6, m), B.dtype),
+                        (Y[::-1], Sinv[::-1], U[::-1]))
+    return X[::-1]
+
+
+def direct_gn_delta(D, U, A, B_loop, li, lj, r_loop, b, damping):
+    """Exact Gauss-Newton step x solving (M + U_L^T U_L) x = b.
+
+    M = tridiag(D, U) is the chain+prior normal matrix (damping added to
+    the diagonal here); U_L stacks the loop-edge Jacobian rows (6 per
+    loop edge, blocks A at pose li and B_loop at pose lj — zero rows for
+    inactive slots).  Woodbury:
+        x = M^-1 b - M^-1 U_L^T (I + U_L M^-1 U_L^T)^-1 U_L M^-1 b
+    computed with ONE batched tridiagonal solve over [b | U_L^T].
+    r_loop (L, 6) are the loop residuals; their gradient contribution
+    -A^T r - B^T r is folded into b here so callers pass the chain+prior
+    gradient only.
+    """
+    K = D.shape[0]
+    L = A.shape[0]
+    eye6 = jnp.eye(6, dtype=D.dtype)
+    D = D + damping * eye6
+
+    # fold loop-edge gradient into b
+    b = b.at[li].add(-jnp.einsum("lab,la->lb", A, r_loop))
+    b = b.at[lj].add(-jnp.einsum("lab,la->lb", B_loop, r_loop))
+
+    # dense U_L^T as (K, 6, 6L): column block l holds A_l^T at row li[l]
+    # and B_l^T at row lj[l]
+    onehot_i = (li[:, None] == jnp.arange(K)[None, :]).astype(D.dtype)
+    onehot_j = (lj[:, None] == jnp.arange(K)[None, :]).astype(D.dtype)
+    Ut = (jnp.einsum("lk,lba->kalb", onehot_i, A)
+          + jnp.einsum("lk,lba->kalb", onehot_j, B_loop)).reshape(K, 6, 6 * L)
+
+    Sinv = tridiag_factor(D, U)
+    rhs = jnp.concatenate([b[..., None], Ut], axis=-1)      # (K, 6, 1+6L)
+    X = tridiag_solve(Sinv, U, rhs)
+    xb, XU = X[..., 0], X[..., 1:]
+
+    def apply_UL(Y):
+        # U_L @ Y for Y (K, 6, m) -> (6L, m)
+        out = (jnp.einsum("lba,lam->lbm", A, Y[li])
+               + jnp.einsum("lba,lam->lbm", B_loop, Y[lj]))
+        return out.reshape(6 * L, -1)
+
+    S = jnp.eye(6 * L, dtype=D.dtype) + apply_UL(XU)
+    c = jnp.linalg.solve(S, apply_UL(xb[..., None])[:, 0])
+    x = xb - jnp.einsum("kam,m->ka", XU, c)
+    return jnp.where(jnp.isfinite(x), x, 0.0)
+
+
+def _assemble_blocks(R, t, state: MappingState, cfg: PipelineConfig):
+    """Chain+prior tridiagonal blocks, gradient, and loop blocks at the
+    current linearization point (R, t).
+
+    Returns (D, U, b, A, B, r_loop): D/U (K,6,6) tridiagonal normal
+    blocks incl. prior and inactive-pose regularization, b (K,6) the
+    chain+prior gradient -J^T r, A/B (L,6,6) loop Jacobian blocks and
+    r_loop (L,6) loop residuals (for direct_gn_delta).
+    """
+    K = R.shape[0]
+    idx = jnp.arange(K)
+    active = (idx >= 1) & (idx < state.n_kf)
+    wr = jnp.where(active, 1.0 / cfg.pg_rot_sigma, 0.0)
+    wt = jnp.where(active, 1.0 / cfg.pg_trans_sigma, 0.0)
+    Rp = jnp.roll(R, 1, axis=0)
+    tp = jnp.roll(t, 1, axis=0)
+    no = jnp.zeros((K,), bool)
+    r_c, Ji, Jj = edge_blocks(Rp, tp, R, t, state.kf_meas_R, state.kf_meas_t,
+                              wr, wt, no)
+
+    # chain edge k couples poses (k-1, k): D_{k-1} += Ji^T Ji,
+    # D_k += Jj^T Jj, U_{k-1} += Ji^T Jj; the roll(-1) re-indexes the
+    # "k-1" contributions onto their pose row (row K-1 receives edge 0,
+    # which is inactive and therefore zero).
+    JiTJi = jnp.einsum("kab,kac->kbc", Ji, Ji)
+    JjTJj = jnp.einsum("kab,kac->kbc", Jj, Jj)
+    JiTJj = jnp.einsum("kab,kac->kbc", Ji, Jj)
+    D = JjTJj + jnp.roll(JiTJi, -1, axis=0)
+    U = jnp.roll(JiTJj, -1, axis=0)
+    b = (-jnp.einsum("kab,ka->kb", Jj, r_c)
+         - jnp.roll(jnp.einsum("kab,ka->kb", Ji, r_c), -1, axis=0))
+
+    # prior on pose 0
+    wp = jnp.full((1,), 1.0 / cfg.pg_prior_sigma, jnp.float32)
+    eye1 = jnp.eye(3, dtype=jnp.float32)[None]
+    r_p, _, Jp = edge_blocks(R[:1], t[:1], R[:1], t[:1], eye1,
+                             jnp.zeros((1, 3), jnp.float32), wp, wp,
+                             jnp.ones((1,), bool))
+    D = D.at[0].add(Jp[0].T @ Jp[0])
+    b = b.at[0].add(-Jp[0].T @ r_p[0])
+
+    # inactive poses get an identity block so the factorization stays SPD
+    pose_active = idx < state.n_kf
+    D = D + jnp.where(pose_active, 0.0, 1.0)[:, None, None] * jnp.eye(
+        6, dtype=jnp.float32)
+
+    # loop edges
+    li, lj = state.loop_i, state.loop_j
+    L = li.shape[0]
+    lw = jnp.sqrt(jnp.maximum(state.loop_w, 0.0))
+    lw = jnp.where(jnp.arange(L) < state.n_loops, lw, 0.0)
+    r_l, A, B_loop = edge_blocks(R[li], t[li], R[lj], t[lj],
+                                 state.loop_R, state.loop_t, lw, lw,
+                                 jnp.zeros((L,), bool))
+    return D, U, b, A, B_loop, r_l, li, lj
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -139,22 +315,9 @@ def solve_pose_graph(state: MappingState, cfg: PipelineConfig) -> MappingState:
 
     def gn_step(_, Rt):
         R, t = Rt
-
-        def r_of(x):
-            R2, t2 = _apply_delta(R, t, x.reshape(K, 6))
-            return graph_residuals(R2, t2, state, cfg).reshape(-1)
-
-        x0 = jnp.zeros((K * 6,), jnp.float32)
-        r0, jvp_fn = jax.linearize(r_of, x0)
-        vjp_fn = jax.linear_transpose(jvp_fn, x0)
-
-        def matvec(v):
-            return vjp_fn(jvp_fn(v))[0] + 1e-8 * v
-
-        b = -vjp_fn(r0)[0]
-        x = _cg(matvec, b, cfg.pg_cg_iters)
-        R, t = _apply_delta(R, t, x.reshape(K, 6))
-        return R, t
+        D, U, b, A, B_loop, r_l, li, lj = _assemble_blocks(R, t, state, cfg)
+        x = direct_gn_delta(D, U, A, B_loop, li, lj, r_l, b, cfg.pg_damping)
+        return _apply_delta(R, t, x)
 
     R, t = jax.lax.fori_loop(0, cfg.pg_gn_iters, gn_step, (state.kf_R, state.kf_t))
 
@@ -173,8 +336,10 @@ def solve_pose_graph(state: MappingState, cfg: PipelineConfig) -> MappingState:
 def distribute_loop_error(state: MappingState, i, j, Z: Pose,
                           cfg: PipelineConfig) -> MappingState:
     """Warm start after adding loop edge i -> j with measurement Z: spread
-    the loop discrepancy linearly over keyframes j..i.  This closes the bulk
-    of the low-frequency correction so CG only polishes."""
+    the loop discrepancy linearly over keyframes j..i.  The direct solver
+    no longer needs this to converge; it remains as a better linearization
+    point for the first GN iteration (large rotation residuals bias the
+    chordal approximation)."""
     Ti = Pose(state.kf_R[i], state.kf_t[i])
     Tj = Pose(state.kf_R[j], state.kf_t[j])
     # pose i implied by the loop measurement: Ti' = Tj Z^-1

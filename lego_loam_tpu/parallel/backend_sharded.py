@@ -52,21 +52,31 @@ from lego_loam_tpu.utils.math3d import Pose, so3_exp
 
 
 def _shard_local_map(kf_R, kf_t, blocks, valids, n_kf, center, offset,
-                     n_cap: int, radius: float, leaf: float, out_cap: int):
-    """Per-shard local-map assembly: in-radius top-n_cap keyframes owned by
-    this shard, transformed and voxel-downsampled to out_cap points."""
-    Ks = blocks.shape[0]
-    gidx = offset + jnp.arange(Ks)
-    alive = gidx < n_kf
-    d2 = jnp.sum((kf_t[gidx] - center) ** 2, axis=1)
-    usable = alive & (d2 <= radius * radius)
-    _, sel = jax.lax.top_k(-jnp.where(usable, d2, 1e30), min(n_cap, Ks))
-    sel_ok = jnp.take(usable, sel)
+                     n_sel: int, radius: float, leaf: float, out_cap: int):
+    """Per-shard local-map assembly with EXACT global keyframe selection.
 
-    b = blocks[sel]
-    v = valids[sel] & sel_ok[:, None]
-    R = kf_R[gidx[sel]]
-    t = kf_t[gidx[sel]]
+    The pose array replicates, so every shard computes the same global
+    top-n_sel in-radius selection (identical to the single-device
+    _gather_local_map policy) and then contributes the transformed blocks
+    of the selected keyframes IT OWNS.  The union over shards is exactly
+    the global selection — no per-shard candidate quota, so a recent
+    trajectory cluster landing on one shard can never starve the local map
+    (round-3 ADVICE finding: the old top-(S/n)-per-shard split assumed a
+    uniform spread that contiguous slot allocation violates)."""
+    Ks = blocks.shape[0]
+    K = kf_t.shape[0]
+    alive = jnp.arange(K) < n_kf
+    d2 = jnp.sum((kf_t - center) ** 2, axis=1)
+    usable = alive & (d2 <= radius * radius)
+    _, sel = jax.lax.top_k(-jnp.where(usable, d2, 1e30), min(n_sel, K))
+    sel_ok = jnp.take(usable, sel)
+    owned = (sel >= offset) & (sel < offset + Ks)
+    lsel = jnp.clip(sel - offset, 0, Ks - 1)
+
+    b = blocks[lsel]
+    v = valids[lsel] & (sel_ok & owned)[:, None]
+    R = kf_R[sel]
+    t = kf_t[sel]
     pts = jnp.einsum("sij,scj->sci", R, b) + t[:, None, :]
     return voxel_downsample(pts.reshape(-1, 3), v.reshape(-1), leaf, out_cap)
 
@@ -97,9 +107,15 @@ def _sharded_solver(cfg: PipelineConfig, mesh: Mesh, axis: str):
     K = cfg.max_keyframes
     assert K % n_dev == 0, "max_keyframes must divide the mesh axis"
     Ks = K // n_dev
-    S_cap = max(cfg.surrounding_keyframe_search_num // n_dev, 1)
-    mc_cap = cfg.max_map_corner // n_dev
-    ms_cap = cfg.max_map_surf // n_dev
+    S = cfg.surrounding_keyframe_search_num
+    # per-shard submap caps stay FULL-SIZE: the arrays are tiny (~100 KB -
+    # 400 KB), so a shard owning the whole in-radius neighborhood (the
+    # common recent-cluster case) keeps single-device map density instead
+    # of truncating at cap/n.  What shards here is the keyframe POOL (the
+    # hundreds-of-MB arrays) and the gather/transform bandwidth, not the
+    # NN distance tiles.
+    mc_cap = cfg.max_map_corner
+    ms_cap = cfg.max_map_surf
 
     pool_spec = P(axis)
     rep = P()
@@ -118,14 +134,14 @@ def _sharded_solver(cfg: PipelineConfig, mesh: Mesh, axis: str):
         offset = jax.lax.axis_index(axis) * Ks
         center = T_pred.t
         cm, cmv = _shard_local_map(
-            kf_R, kf_t, kf_c, kf_cv, n_kf, center, offset, S_cap,
+            kf_R, kf_t, kf_c, kf_cv, n_kf, center, offset, S,
             cfg.surrounding_keyframe_search_radius, cfg.leaf_map_corner,
             mc_cap)
         # surf + outlier blocks form the surf map (reference combines them)
         so_blocks = jnp.concatenate([kf_s, kf_o], axis=1)
         so_valid = jnp.concatenate([kf_sv, kf_ov], axis=1)
         sm, smv = _shard_local_map(
-            kf_R, kf_t, so_blocks, so_valid, n_kf, center, offset, S_cap,
+            kf_R, kf_t, so_blocks, so_valid, n_kf, center, offset, S,
             cfg.surrounding_keyframe_search_radius, cfg.leaf_map_surf,
             ms_cap)
 
@@ -192,9 +208,26 @@ def _sharded_solver(cfg: PipelineConfig, mesh: Mesh, axis: str):
         P6 = jnp.eye(6, dtype=jnp.float32)
         done = jnp.bool_(False)
         n_keep = jnp.int32(0)
-        for it in range(min(cfg.map_assoc_iters, cfg.map_iters)):
+        n_assoc = min(cfg.map_assoc_iters, cfg.map_iters)
+        a = None
+        for it in range(n_assoc):
             a = assoc(T)
             T, P6, done, n_keep = gn_step(T, P6, done, a, it == 0)
+
+        # frozen-correspondence refinement up to map_iters, matching the
+        # single-device scan_to_map schedule (no NN/collectives inside, so
+        # hard scans converge to the same pose as the single-device path)
+        def wcond(carry):
+            it, T, done, n_keep = carry
+            return (it < cfg.map_iters) & ~done & map_gate
+
+        def wbody(carry):
+            it, T, done, n_keep = carry
+            T, _, done, nk = gn_step(T, P6, done, a, False)
+            return it + 1, T, done, nk
+
+        _, T, _, n_keep = jax.lax.while_loop(
+            wcond, wbody, (jnp.int32(n_assoc), T, done, n_keep))
         return T, n_keep
 
     return solve
@@ -231,9 +264,20 @@ def backend_step_sharded(
     """One full sharded mapping solve.  corner/surf are the downsampled
     current-scan clouds (the front end's voxel output).  Returns
     (new_state, mapped_pose, n_constraints) with the same insertion/latch
-    semantics as models/mapping.mapping_step (minus the cached-map fast
-    path — each solve re-gathers its shard, already 1/n of the single-chip
-    cost).  Compiled programs are cached per (cfg, mesh, axis)."""
+    semantics as models/mapping.mapping_step, with two documented
+    deviations:
+
+      * no cached-map fast path — each solve re-gathers its shard (the
+        gather/transform is split across the mesh, and the cache would
+        have to be invalidated collectively);
+      * no inline pool compaction — once n_kf reaches max_keyframes the
+        insert gate saturates and the map freezes (the single-device path
+        auto-compacts at K-1).  For long sharded runs the host should
+        periodically call models.mapping.compact_keyframes on the state
+        at its own cadence; it is pure jnp, so jit with the sharded state
+        simply lets XLA insert the resharding collectives.
+
+    Compiled programs are cached per (cfg, mesh, axis)."""
     K = cfg.max_keyframes
     T_pred = predict_pose(state, odom_pose)
 

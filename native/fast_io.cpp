@@ -11,6 +11,7 @@
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 dependency).
 
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -33,14 +34,17 @@ long long kitti_read_bin(const char* path, float* out, long long cap) {
   return n;
 }
 
-// NaN-filter + pad: in (n x stride floats, xyz first) -> out_xyz (cap x 3),
-// out_valid (cap bytes).  Returns number of points written.
+// Non-finite filter + pad: in (n x stride floats, xyz first) ->
+// out_xyz (cap x 3), out_valid (cap bytes).  Returns number of points
+// written.  Rejects NaN AND +-Inf (matching the NumPy fallback's
+// isfinite; real drivers emit Inf for no-return beams).
 long long pad_scan(const float* in, long long n, int stride, float* out_xyz,
                    unsigned char* out_valid, long long cap) {
   long long m = n < cap ? n : cap;
   for (long long i = 0; i < m; ++i) {
     const float* p = in + i * stride;
-    bool ok = p[0] == p[0] && p[1] == p[1] && p[2] == p[2];
+    bool ok = std::isfinite(p[0]) && std::isfinite(p[1]) &&
+              std::isfinite(p[2]);
     out_xyz[i * 3 + 0] = ok ? p[0] : 0.f;
     out_xyz[i * 3 + 1] = ok ? p[1] : 0.f;
     out_xyz[i * 3 + 2] = ok ? p[2] : 0.f;

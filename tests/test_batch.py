@@ -156,7 +156,7 @@ def test_batch_matches_individual_with_loop_closure():
     """Equivalence of batched vs per-sequence replay with the loop-closure
     cadence active (the gate path runs even when no closure fires)."""
     cfg = CFG.replace(loop_closure_enabled=True,
-                      max_loop_edges=8, pg_cg_iters=16, pg_gn_iters=2)
+                      max_loop_edges=8, pg_gn_iters=2)
     n, C = 8, 4
     seq_a = _scans(n, seed=4, arc=0.35 * np.pi)
     seq_b = _scans(n, seed=7, arc=-0.3 * np.pi)

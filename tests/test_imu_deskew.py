@@ -269,3 +269,20 @@ def test_fold_attitude_anchor_respects_initial_attitude():
         state = imu_mod.fold_attitude(state, buf, jnp.float32(k * DT), cfg)
     dev = float(np.linalg.norm(np.asarray(so3_log(state.pose.R))))
     assert dev < 1e-4, f"identity pose drifted {dev:.5f} under zero motion"
+
+
+def test_fold_attitude_anchor_after_prior_rotation():
+    """ADVICE r3: the IMU becoming valid AFTER the vehicle has rotated must
+    not bias the fold — the anchor folds in the odometry pose at the
+    anchor-setting scan, so with a static AHRS and a rotated pose the blend
+    target IS the current pose (no pull toward identity)."""
+    cfg = CFG.replace(imu_odom_attitude_blend=0.5)
+    pose, velo, gyro_int = _accel_profile(
+        np.zeros(3), np.zeros(3), np.zeros(3), 0.0, 0.0)
+    Rp = jnp.asarray(_yaw_R(0.9), jnp.float32)  # pose rotated before IMU-on
+    state = odo.init_state(cfg)._replace(pose=Pose(Rp, jnp.zeros(3)))
+    for k in range(5):
+        buf = _truth_buffer(k * DT, pose, velo, gyro_int)
+        state = imu_mod.fold_attitude(state, buf, jnp.float32(k * DT), cfg)
+    dev = float(np.linalg.norm(np.asarray(so3_log(Rp.T @ state.pose.R))))
+    assert dev < 1e-4, f"rotated pose pulled {dev:.5f} by late-IMU anchor"

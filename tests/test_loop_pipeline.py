@@ -13,7 +13,7 @@ CFG = config_for(
     max_scan_corner_ds=256, max_scan_surf_ds=1024, nn_query_tile=256,
     mapping_process_every=1, loop_closure_enabled=True,
     loop_min_time_gap=3.0, max_loop_edges=8,
-    pg_cg_iters=128, pg_gn_iters=4, keyframe_min_translation=0.25)
+    pg_gn_iters=4, keyframe_min_translation=0.25)
 
 
 def test_out_and_back_loop_closure():

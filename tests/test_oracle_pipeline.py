@@ -26,7 +26,7 @@ CFG = config_for(
     max_keyframes=64, max_map_corner=4096, max_map_surf=16384,
     kf_corner_cap=512, kf_surf_cap=2048, kf_outlier_cap=512,
     max_scan_corner_ds=512, max_scan_surf_ds=2048, nn_query_tile=512,
-    max_loop_edges=8, pg_cg_iters=48, pg_gn_iters=4,
+    max_loop_edges=8, pg_gn_iters=4,
     # the oracle pins the reference-faithful paths the per-kernel oracles
     # use: exact NN and sequential sector picks
     nn_exact=True, sector_parallel=False,

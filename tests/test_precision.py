@@ -46,7 +46,7 @@ def test_entry_points_trace_with_highest_precision():
         kf_corner_cap=64, kf_surf_cap=128, kf_outlier_cap=64,
         max_scan_corner_ds=64, max_scan_surf_ds=128, nn_query_tile=64,
         max_sharp=32, max_less_sharp=64, max_flat=32, max_less_flat=128,
-        max_outlier=32, max_loop_edges=4, pg_cg_iters=4, pg_gn_iters=1,
+        max_outlier=32, max_loop_edges=4, pg_gn_iters=1,
     )
     N = cfg.sensor.n_scan * cfg.sensor.horizon_scan
     ident = Pose.identity()
