@@ -104,7 +104,7 @@ def main() -> None:
         s_in, s_ok_in, cfg.leaf_scan_surf, cfg.max_scan_surf_ds)
 
     def step():
-        st, T, _ = backend_step_sharded(
+        st, T, _, _ = backend_step_sharded(
             mstate, c_pts, c_ok, s_pts, s_ok, opose, jnp.float32(0.0),
             cfg, mesh)
         return T.t

@@ -244,6 +244,62 @@ class PipelineConfig:
     loop_min_time_gap: float = 30.0
     loop_icp_iters: int = 30
     loop_icp_max_corr_dist: float = 100.0
+    # false-positive gates (new capability; the reference accepts ANY
+    # converged ICP with fitness < 0.3, mapOptmization.cpp:904, so a
+    # tight-but-wrong alignment in self-similar geometry corrupts the
+    # graph unchecked):
+    loop_sigma_floor: float = 0.1            # loop-edge noise sigma =
+                                             # max(floor, scale*sqrt(fitness)).
+                                             # Deliberate deviation: the
+                                             # reference hands gtsam the raw
+                                             # ICP fitness (mean squared
+                                             # PER-POINT NN distance) as the
+                                             # factor's VARIANCE
+                                             # (mapOptmization.cpp:932-937),
+                                             # which makes one loop edge
+                                             # orders of magnitude weaker
+                                             # than the odometry chain — an
+                                             # exact solver then correctly
+                                             # computes a near-zero
+                                             # correction.  A converged ICP
+                                             # alignment aggregates
+                                             # thousands of matches, so its
+                                             # POSE error is not the
+                                             # per-point spread; it is
+                                             # bounded below by systematic
+                                             # effects (voxel quantization
+                                             # at leaf_history, partial
+                                             # overlap) — the floor.  Loops
+                                             # then dominate exactly when
+                                             # accumulated chain drift
+                                             # exceeds ICP accuracy
+    loop_sigma_scale: float = 0.5            # scales sqrt(fitness) above
+                                             # the floor (downweights
+                                             # marginal alignments)
+    loop_drift_frac: float = 0.10            # allowed translation
+                                             # discrepancy between the loop
+                                             # measurement and the chain
+                                             # estimate, per meter of chain
+                                             # path between the endpoints
+                                             # (odometry drift grows with
+                                             # distance travelled; a
+                                             # same-pass false match implies
+                                             # a large correction over a
+                                             # short path and is rejected)
+    loop_drift_abs: float = 1.0              # + absolute floor (m)
+    loop_max_rot_correction_deg: float = 45.0  # rotation-discrepancy cap
+    loop_degen_eig_frac: float = 0.02        # observability gate: reject the
+                                             # candidate when the point-to-
+                                             # plane information matrix of
+                                             # the converged ICP alignment
+                                             # has a translational
+                                             # eigenvalue below this
+                                             # fraction of the largest
+                                             # (smooth corridor: nothing
+                                             # pins the along-axis
+                                             # direction, so the "tight"
+                                             # fit is meaningless there).
+                                             # 0 disables
 
     # --- voxel leaf sizes (featureAssociation.cpp:225, mapOptmization.cpp:249-257) ---
     leaf_less_flat: float = 0.2

@@ -57,6 +57,59 @@ def default_world(seed: int = 0) -> World:
     )
 
 
+def corridor_world(length: float = 120.0, width: float = 6.0,
+                   wall_h: float = 4.0, landmarks: np.ndarray | None = None,
+                   pole_period: float = 0.0, end_caps: bool = True) -> World:
+    """A straight corridor along +x: two smooth walls + ground.
+
+    Degenerate-geometry fixture: nothing pins translation along x, so
+    scan-to-scan/map registration is ill-conditioned along the axis (the
+    degeneracy-projection path's natural habitat) and loop-closure ICP
+    produces tight-but-meaningless alignments (the observability gate's
+    habitat).  Optional extras re-introduce x information:
+
+      * landmarks: (B, 6) extra boxes (e.g. a distinctive cabinet at a
+        known x) making the local geometry observable there;
+      * pole_period > 0: identical poles every pole_period metres on both
+        walls — translationally SELF-SIMILAR x information (locally full
+        rank, globally ambiguous modulo the period).
+    """
+    y0 = width / 2.0
+    boxes = [
+        [-5.0, y0, 0.0, length, y0 + 2.0, wall_h],
+        [-5.0, -y0 - 2.0, 0.0, length, -y0, wall_h],
+    ]
+    if end_caps:
+        # end caps close the corridor (a distant-but-real x observation;
+        # end_caps=False leaves it open: zero information along the axis)
+        boxes += [
+            [length, -y0 - 2.0, 0.0, length + 2.0, y0 + 2.0, wall_h],
+            [-7.0, -y0 - 2.0, 0.0, -5.0, y0 + 2.0, wall_h],
+        ]
+    if landmarks is not None:
+        boxes.extend(np.asarray(landmarks, np.float64).tolist())
+    cyl = []
+    if pole_period > 0.0:
+        for x in np.arange(0.0, length, pole_period):
+            cyl.append([x, y0 - 0.3, 0.18, 2.5])
+            cyl.append([x + pole_period / 2.0, -y0 + 0.3, 0.18, 2.5])
+    return World(
+        ground_z=0.0,
+        boxes=np.asarray(boxes),
+        cylinders=np.asarray(cyl) if cyl else np.zeros((0, 4)),
+    )
+
+
+def straight_trajectory(n: int, start: float = 0.0, step: float = 0.25,
+                        height: float = 1.6, y: float = 0.0):
+    """Poses walking straight down +x (for corridor worlds)."""
+    poses = []
+    for k in range(n):
+        t = np.array([start + k * step, y, height])
+        poses.append((np.eye(3), t))
+    return poses
+
+
 def ray_directions(sensor: SensorSpec) -> np.ndarray:
     """(n_scan, horizon_scan, 3) unit directions in the sensor frame.
 

@@ -23,7 +23,8 @@ from lego_loam_tpu.models.posegraph import (
     distribute_loop_error,
     solve_pose_graph,
 )
-from lego_loam_tpu.ops.icp import icp_align
+from lego_loam_tpu.ops.icp import icp_align, plane_information
+from lego_loam_tpu.ops.lin3 import eigvalsh3
 from lego_loam_tpu.ops.voxel import voxel_downsample
 from lego_loam_tpu.utils.math3d import Pose
 from lego_loam_tpu.utils.precision import f32_matmuls
@@ -33,6 +34,16 @@ class LoopResult(NamedTuple):
     closed: jnp.ndarray     # bool
     candidate: jnp.ndarray  # int32 history keyframe index
     fitness: jnp.ndarray    # float32 ICP fitness
+    drift: jnp.ndarray      # float32 translation discrepancy vs chain (m)
+    obs_ratio: jnp.ndarray  # float32 lambda_min/lambda_max of the ICP
+                            # point-to-plane information (1 = isotropic,
+                            # ~0 = unobservable direction)
+
+    @classmethod
+    def empty(cls) -> "LoopResult":
+        return cls(closed=jnp.bool_(False), candidate=jnp.int32(0),
+                   fitness=jnp.float32(jnp.inf), drift=jnp.float32(0.0),
+                   obs_ratio=jnp.float32(0.0))
 
 
 def _keyframe_cloud(state: MappingState, idx, cfg: PipelineConfig,
@@ -75,6 +86,15 @@ def loop_closure_step(state: MappingState, time: jnp.ndarray,
     offs = jnp.arange(-H, H + 1)
     sel = jnp.clip(cand + offs, 0, K - 1)
     sel_ok = (cand + offs >= 0) & (cand + offs < state.n_kf)
+    # keyframes from the CURRENT visit must not enter the history submap:
+    # on short trajectories cand+H can reach the newest keyframes, and ICP
+    # would then match the source cloud against itself and report a
+    # perfect (self-)alignment.  (The reference has the same inclusion
+    # hazard, mapOptmization.cpp:845-852, it just never trips it on its
+    # 20k-keyframe datasets.)  "Current visit" = within half the loop time
+    # gap of now.
+    sel_ok = sel_ok & (jnp.abs(state.kf_time[sel] - time)
+                       > 0.5 * cfg.loop_min_time_gap)
 
     def gather(i, ok):
         pts, val = _keyframe_cloud(state, i, cfg)
@@ -101,7 +121,44 @@ def loop_closure_step(state: MappingState, time: jnp.ndarray,
     T_corr = T_icp.compose(T_latest)
     T_cand = Pose(state.kf_R[cand], state.kf_t[cand])
     Z = T_corr.inverse().compose(T_cand)
-    w = 1.0 / jnp.maximum(fitness, 1e-3)
+    # loop-edge information 1/sigma^2 with sigma = max(floor,
+    # scale*sqrt(fitness)): the POSE error of a converged multi-thousand-
+    # point alignment is systematic (voxel quantization, partial overlap),
+    # not the per-point spread the reference feeds gtsam as variance
+    # (mapOptmization.cpp:932-937) — see config.loop_sigma_floor
+    sigma = jnp.maximum(cfg.loop_sigma_floor,
+                        cfg.loop_sigma_scale * jnp.sqrt(fitness))
+    w = 1.0 / (sigma * sigma)
+
+    # ---- false-positive gates (new vs reference; see config knobs) ----
+    # (a) drift consistency: the measurement may disagree with the chain
+    # estimate only by what odometry drift can plausibly accumulate over
+    # the chain path between the endpoints.  A tight ICP lock onto the
+    # wrong structure implies a large correction over a short path.
+    Z_est = T_latest.inverse().compose(T_cand)
+    drift = jnp.linalg.norm(Z.t - Z_est.t)
+    seg = jnp.where(alive & (idx >= 1),
+                    jnp.linalg.norm(state.kf_meas_t, axis=-1), 0.0)
+    cum = jnp.cumsum(seg)
+    path = jnp.abs(cum[latest] - cum[cand])
+    drift_ok = drift <= cfg.loop_drift_frac * path + cfg.loop_drift_abs
+    cosang = 0.5 * (jnp.trace(Z_est.R.T @ Z.R) - 1.0)
+    d_rot = jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
+    rot_ok = d_rot <= jnp.radians(cfg.loop_max_rot_correction_deg)
+    # (b) observability: in self-similar geometry (smooth corridor) the
+    # point-to-plane information of the converged alignment has a ~zero
+    # eigenvalue along the slip direction — the "tight" fitness is
+    # meaningless there and the measurement must not enter the graph.
+    q_fit = src @ T_icp.R.T + T_icp.t
+    H_tt = plane_information(q_fit, src_val, hist_pts, hist_val,
+                             query_tile=cfg.nn_query_tile,
+                             nn_backend=cfg.nn_backend)
+    lam = eigvalsh3(H_tt[None])[0]
+    obs_ratio = lam[0] / jnp.maximum(lam[2], 1e-9)
+    obs_ok = ((obs_ratio >= cfg.loop_degen_eig_frac)
+              | (cfg.loop_degen_eig_frac <= 0.0))
+
+    accept = accept & drift_ok & rot_ok & obs_ok
 
     slot = jnp.minimum(state.n_loops, cfg.max_loop_edges - 1)
 
@@ -124,4 +181,6 @@ def loop_closure_step(state: MappingState, time: jnp.ndarray,
         lambda a, b: jnp.where(accept, a, b), solved, with_edge)
     # keyframe poses moved: the cached local map must be re-assembled
     new_state = new_state._replace(map_stale=new_state.map_stale | accept)
-    return new_state, LoopResult(closed=accept, candidate=cand, fitness=fitness)
+    return new_state, LoopResult(closed=accept, candidate=cand,
+                                 fitness=fitness, drift=drift,
+                                 obs_ratio=obs_ratio)

@@ -36,7 +36,7 @@ from lego_loam_tpu.ops.knn import knn
 from lego_loam_tpu.ops.lin3 import eigvalsh3, principal_axis3, solve3
 from lego_loam_tpu.ops.voxel import voxel_downsample
 from lego_loam_tpu.types import ScanFeatures
-from lego_loam_tpu.utils.math3d import Pose, so3_exp
+from lego_loam_tpu.utils.math3d import Pose, project_so3, so3_exp
 from lego_loam_tpu.utils.precision import f32_matmuls
 
 
@@ -399,6 +399,11 @@ def mapping_step(
         from lego_loam_tpu.models.imu import blend_attitude
 
         T = blend_attitude(T, imu_buf, time, cfg)
+
+    # the mapped pose is latched (aft_mapped) and stored as a keyframe:
+    # keep its rotation exactly on SO(3) so error cannot accumulate
+    # through the predict -> solve -> latch cycle
+    T = Pose(project_so3(T.R), T.t)
 
     # keyframe insertion (mapOptmization.cpp:1353-1454)
     has_kf = state.n_kf > 0

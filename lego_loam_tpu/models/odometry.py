@@ -35,7 +35,7 @@ from lego_loam_tpu.config import PipelineConfig
 from lego_loam_tpu.ops.knn import masked_argmin, sq_dist_matrix
 from lego_loam_tpu.ops.lin3 import solve3
 from lego_loam_tpu.types import FeatureCloud, ScanFeatures, empty_feature_cloud
-from lego_loam_tpu.utils.math3d import Pose, so3_exp, so3_log
+from lego_loam_tpu.utils.math3d import Pose, project_so3, so3_exp, so3_log
 from lego_loam_tpu.utils.precision import f32_matmuls
 
 _EPS = 1e-12
@@ -447,9 +447,12 @@ def odometry_step(
     # do not fold the seed into the pose (checkSystemInitialization analog,
     # featureAssociation.cpp:1605-1637).
     initialized = (n_ref_c + n_ref_s) > 0
+    acc = state.pose.compose(rel)
+    # one compose per scan accumulates here for the whole run: project the
+    # rotation back onto SO(3) so float32 error cannot build up
+    acc = Pose(project_so3(acc.R), acc.t)
     pose = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(initialized, a, b),
-        state.pose.compose(rel), state.pose)
+        lambda a, b: jnp.where(initialized, a, b), acc, state.pose)
 
     # Build next references at this sweep's end frame
     # (featureAssociation.cpp:1759-1788).

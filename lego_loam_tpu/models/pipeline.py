@@ -137,9 +137,7 @@ def chunk_steps(ostate, mstate, xyz, valid, ring, frames, times,
             mstate, res = jax.lax.cond(
                 do_loop,
                 lambda m: lc.loop_closure_step(m, t_k, cfg),
-                lambda m: (m, lc.LoopResult(
-                    closed=jnp.bool_(False), candidate=jnp.int32(0),
-                    fitness=jnp.float32(jnp.inf))),
+                lambda m: (m, lc.LoopResult.empty()),
                 mstate)
             closed = res.closed
         else:

@@ -9,18 +9,21 @@ same graph as one batch Gauss-Newton program, structured for TPU:
     vectorized slice of the keyframe pool, loop edges a padded array;
   * rotation residuals use the chordal form 0.5*vee(E - E^T) (smooth
     polynomial of the entries — no branchy log map in the autodiff path);
-  * each Gauss-Newton step is solved EXACTLY by exploiting the graph
+  * each Gauss-Newton step is solved DIRECTLY by exploiting the graph
     topology: the chain + prior part of the normal matrix is block-
-    tridiagonal (6x6 blocks) and is factorized by a block-Thomas
-    recursion (one lax.scan over the pool); the loop edges are a
-    low-rank correction (6 rows each) folded in by the Woodbury
-    identity.  Total cost is O(K) block ops + one small (6L x 6L)
-    dense solve — no Krylov iteration, so the solution is exact at any
-    conditioning.  (An unpreconditioned CG formulation used through
-    round 3 stalled on the low-frequency chain modes once the
-    information spread spanned ~7 decades; the direct factorization is
-    impervious to the spread, so the gtsam-matching noise defaults need
-    no rebalancing.)
+    tridiagonal (6x6 blocks) and is factorized by BLOCK CYCLIC
+    REDUCTION — log2(K) levels of batched 6x6 ops, so both the TPU
+    latency and the float32 rounding depth are logarithmic in the pool
+    size (a block-Thomas lax.scan used through round 3 was K-step
+    sequential AND accumulated error over all K steps — at the default
+    K=4096 its steps were pure noise).  The loop edges are a low-rank
+    correction (6 rows each) folded in by the Woodbury identity.
+    Residual float32 inexactness (a few percent per step) is absorbed
+    by cost-guarded outer GN iterations: every step is accepted only if
+    it reduces the true graph cost.  (An unpreconditioned CG
+    formulation used through round 2 stalled outright on the
+    low-frequency chain modes once the information spread spanned ~7
+    decades.)
   * the same per-edge 6x6 Jacobian blocks shard across a device mesh:
     each shard accumulates partial D/U/loop blocks and the gradient for
     its edges, one psum combines them over ICI, and the (tiny) recursive
@@ -154,49 +157,67 @@ def edge_blocks(Ri, ti, Rj, tj, ZR, Zt, wr, wt, is_prior):
 
 
 # ---------------------------------------------------------------------------
-# Block-tridiagonal direct solver (block-Thomas recursion as a lax.scan).
-# M has 6x6 diagonal blocks D_k and super-diagonal blocks U_k (coupling
-# pose k to k+1); M is SPD.  Factorize once, then solve for a batch of
-# right-hand sides in two sweeps.
+# Block-tridiagonal direct solver via BLOCK CYCLIC REDUCTION.  M has 6x6
+# diagonal blocks D_k and super-diagonal blocks U_k (coupling pose k to
+# k+1); M is SPD.  Each level eliminates the odd-indexed blocks with
+# batched 6x6 ops, halving the system: log2(K) levels of parallel work
+# instead of a K-step sequential recursion.  That matters twice on TPU:
+#   * latency — ~12 batched steps instead of 3 x 4096 sequential scan
+#     iterations at the default pool size;
+#   * float32 accuracy — rounding error accumulates over the reduction
+#     DEPTH.  A block-Thomas lax.scan (used through round 3) feeds each
+#     step's error into all later steps; at K=4096 and the realistic
+#     information spread its solutions were pure noise (measured relative
+#     residual > 100).  BCR's depth-12 accumulation keeps the one-shot
+#     relative residual at the few-percent level, which the cost-guarded
+#     outer Gauss-Newton iterations then absorb (each outer iteration
+#     recomputes exact residuals at the new poses — relinearization acts
+#     as stable refinement; in-solve iterative refinement diverges in
+#     float32 because the error concentrates in the stiffest modes).
+# K must be a power of two (config.max_keyframes always is).
 # ---------------------------------------------------------------------------
 
 def tridiag_factor(D, U):
-    """Returns Sinv (K, 6, 6): inverses of the Schur-complement diagonals
-    S_0 = D_0,  S_k = D_k - U_{k-1}^T S_{k-1}^{-1} U_{k-1}."""
-    U_prev = jnp.roll(U, 1, axis=0).at[0].set(0.0)
+    """Cyclic-reduction factorization.  Returns (levels, Dfinv): one
+    (Dinv_odd, U_left, U_right) triple per level plus the inverse of the
+    final 1-block system."""
+    K = D.shape[0]
+    assert K & (K - 1) == 0, "max_keyframes must be a power of two"
+    levels = []
+    while D.shape[0] > 1:
+        Dinv = jnp.linalg.inv(D[1::2])       # odd-block inverses
+        Ul = U[0::2]                          # couples even 2r <-> odd 2r+1
+        Ur = U[1::2]                          # couples odd 2r+1 <-> even 2r+2
+        levels.append((Dinv, Ul, Ur))
+        Dn = D[0::2] - jnp.einsum("rab,rbc,rdc->rad", Ul, Dinv, Ul)
+        Dn = Dn.at[1:].add(
+            -jnp.einsum("rba,rbc,rcd->rad", Ur[:-1], Dinv[:-1], Ur[:-1]))
+        U = -jnp.einsum("rab,rbc,rcd->rad", Ul, Dinv, Ur)
+        D = Dn
+    return levels, jnp.linalg.inv(D[0])
 
-    def step(Sinv_prev, inp):
-        Dk, Up = inp
-        S = Dk - Up.T @ Sinv_prev @ Up
-        Sinv = jnp.linalg.inv(S)
-        return Sinv, Sinv
 
-    _, Sinv = jax.lax.scan(step, jnp.zeros((6, 6), D.dtype), (D, U_prev))
-    return Sinv
-
-
-def tridiag_solve(Sinv, U, B):
+def tridiag_solve(factorization, B):
     """Solve M X = B for B (K, 6, m) given the factorization of M."""
-    U_prev = jnp.roll(U, 1, axis=0).at[0].set(0.0)
-    Sinv_prev = jnp.roll(Sinv, 1, axis=0).at[0].set(0.0)
-    m = B.shape[-1]
-
-    def fwd(y_prev, inp):
-        Bk, Up, Sp = inp
-        y = Bk - Up.T @ (Sp @ y_prev)
-        return y, y
-
-    _, Y = jax.lax.scan(fwd, jnp.zeros((6, m), B.dtype),
-                        (B, U_prev, Sinv_prev))
-
-    def bwd(x_next, inp):
-        yk, Sk, Uk = inp
-        x = Sk @ (yk - Uk @ x_next)
-        return x, x
-
-    _, X = jax.lax.scan(bwd, jnp.zeros((6, m), B.dtype),
-                        (Y[::-1], Sinv[::-1], U[::-1]))
-    return X[::-1]
+    levels, Dfinv = factorization
+    stack = []
+    for Dinv, Ul, Ur in levels:
+        Bo = B[1::2]
+        z = jnp.einsum("rab,rbm->ram", Dinv, Bo)
+        Bn = B[0::2] - jnp.einsum("rab,rbm->ram", Ul, z)
+        Bn = Bn.at[1:].add(-jnp.einsum("rba,rbm->ram", Ur[:-1], z[:-1]))
+        stack.append(Bo)
+        B = Bn
+    X = jnp.einsum("ab,rbm->ram", Dfinv, B)
+    for (Dinv, Ul, Ur), Bo in zip(reversed(levels), reversed(stack)):
+        xe = X
+        xe_next = jnp.concatenate([xe[1:], jnp.zeros_like(xe[:1])], axis=0)
+        rhs = (Bo - jnp.einsum("rba,rbm->ram", Ul, xe)
+               - jnp.einsum("rab,rbm->ram", Ur, xe_next))
+        xo = jnp.einsum("rab,rbm->ram", Dinv, rhs)
+        X = (jnp.zeros((2 * xe.shape[0],) + xe.shape[1:], xe.dtype)
+             .at[0::2].set(xe).at[1::2].set(xo))
+    return X
 
 
 def direct_gn_delta(D, U, A, B_loop, li, lj, r_loop, b, damping):
@@ -228,9 +249,9 @@ def direct_gn_delta(D, U, A, B_loop, li, lj, r_loop, b, damping):
     Ut = (jnp.einsum("lk,lba->kalb", onehot_i, A)
           + jnp.einsum("lk,lba->kalb", onehot_j, B_loop)).reshape(K, 6, 6 * L)
 
-    Sinv = tridiag_factor(D, U)
+    fact = tridiag_factor(D, U)
     rhs = jnp.concatenate([b[..., None], Ut], axis=-1)      # (K, 6, 1+6L)
-    X = tridiag_solve(Sinv, U, rhs)
+    X = tridiag_solve(fact, rhs)
     xb, XU = X[..., 0], X[..., 1:]
 
     def apply_UL(Y):
@@ -313,11 +334,23 @@ def solve_pose_graph(state: MappingState, cfg: PipelineConfig) -> MappingState:
     last = jnp.maximum(state.n_kf - 1, 0)
     T_last_old = Pose(state.kf_R[last], state.kf_t[last])
 
+    def cost(R, t):
+        r = graph_residuals(R, t, state, cfg)
+        return jnp.sum(r * r)
+
     def gn_step(_, Rt):
         R, t = Rt
         D, U, b, A, B_loop, r_l, li, lj = _assemble_blocks(R, t, state, cfg)
         x = direct_gn_delta(D, U, A, B_loop, li, lj, r_l, b, cfg.pg_damping)
-        return _apply_delta(R, t, x)
+        R2, t2 = _apply_delta(R, t, x)
+        # cost guard: the float32 inner solve is a few-percent-accurate
+        # Newton step (see the BCR note above); accept it only if it
+        # reduces the true graph cost, so a bad step can never run away.
+        # A rejected step leaves the poses unchanged (the next iteration
+        # relinearizes at the same point and gets the same step, which the
+        # guard keeps rejecting — the solve has then simply converged).
+        ok = cost(R2, t2) < cost(R, t)
+        return (jnp.where(ok, R2, R), jnp.where(ok, t2, t))
 
     R, t = jax.lax.fori_loop(0, cfg.pg_gn_iters, gn_step, (state.kf_R, state.kf_t))
 

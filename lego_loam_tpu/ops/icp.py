@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from lego_loam_tpu.utils.precision import f32_matmuls
 
 from lego_loam_tpu.ops.knn import knn
+from lego_loam_tpu.ops.lin3 import eigvalsh3, principal_axis3
 from lego_loam_tpu.utils.math3d import Pose
 
 
@@ -72,3 +73,41 @@ def icp_align(
     # equally meaningless and must not read as a perfect alignment
     fitness = jnp.where(n_match >= 10, fitness, 1.0e9)
     return T, fitness
+
+
+def plane_information(q, match, dst, dst_valid,
+                      query_tile: int = 0, nn_backend: str = "auto"):
+    """Translational point-to-plane information matrix of an alignment.
+
+    q: (N, 3) source points already placed at the converged pose; match:
+    (N,) bool valid-correspondence mask.  For each matched point the local
+    target surface normal is estimated from its 5-NN in dst (covariance
+    smallest-eigvec), and the 3x3 matrix sum_k m_k n_k n_k^T is returned.
+
+    A point-to-POINT ICP fit (icp_align) is always translationally "stiff"
+    at frozen correspondences, so its own Hessian cannot express surface
+    slip; the point-to-plane form can: translating along a smooth corridor
+    axis keeps every n.(q-p) residual unchanged, so that direction
+    contributes ~0 here.  Callers compare the eigenvalue spread of the
+    returned matrix to detect such unobservable alignments (the aperture
+    problem that makes the reference's fitness-only loop acceptance,
+    mapOptmization.cpp:904, unsafe in self-similar geometry).
+    """
+    idx, _ = knn(q, dst, dst_valid, 5, query_tile, backend=nn_backend)
+    nbrs = dst[idx]                                   # (N, 5, 3)
+    c = jnp.mean(nbrs, axis=1)
+    X = nbrs - c[:, None, :]
+    cov = jnp.einsum("nki,nkj->nij", X, X) / nbrs.shape[1]
+    lam = eigvalsh3(cov)                              # ascending
+    # smallest-eigenvalue eigenvector of cov == largest of (tr(cov) I - cov)
+    tr = (lam[:, 0] + lam[:, 1] + lam[:, 2])[:, None]
+    B = tr[..., None] * jnp.eye(3, dtype=cov.dtype) - cov
+    lamB = jnp.stack([tr[:, 0] - lam[:, 2], tr[:, 0] - lam[:, 1],
+                      tr[:, 0] - lam[:, 0]], axis=-1)
+    n = principal_axis3(B, lamB)                      # (N, 3) unit normals
+    # a 5-NN set that does not span a surface (isolated pole tip, padding)
+    # has no meaningful normal: require the tangent spread lam[1] to
+    # dominate the normal direction's lam[0]
+    surf_ok = match & (lam[:, 1] > 4.0 * lam[:, 0] + 1e-8)
+    w = surf_ok.astype(q.dtype)
+    return jnp.einsum("n,ni,nj->ij", w, n, n)

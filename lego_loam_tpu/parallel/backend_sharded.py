@@ -101,8 +101,13 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=16)
-def _sharded_solver(cfg: PipelineConfig, mesh: Mesh, axis: str):
-    """Build (once per (cfg, mesh)) the jitted shard_map solve program."""
+def _sharded_gather(cfg: PipelineConfig, mesh: Mesh, axis: str):
+    """Build (once per (cfg, mesh)) the jitted per-shard local-map gather.
+
+    Outputs are SHARDED along the point axis: shard d's slice holds the
+    submap assembled from the keyframes d owns (padded to the full caps per
+    shard).  The solver consumes them shard-locally, so a cached map never
+    moves between devices."""
     n_dev = mesh.shape[axis]
     K = cfg.max_keyframes
     assert K % n_dev == 0, "max_keyframes must divide the mesh axis"
@@ -124,15 +129,12 @@ def _sharded_solver(cfg: PipelineConfig, mesh: Mesh, axis: str):
     @f32_matmuls
     @partial(shard_map, mesh=mesh,
              in_specs=(pool_spec, pool_spec, pool_spec, pool_spec,
-                       pool_spec, pool_spec,
-                       rep, rep, rep, rep, rep, rep, rep,
-                       Pose(rep, rep)),
-             out_specs=(Pose(rep, rep), rep),
+                       pool_spec, pool_spec, rep, rep, rep, rep),
+             out_specs=(P(axis), P(axis), P(axis), P(axis)),
              check_vma=False)
-    def solve(kf_c, kf_cv, kf_s, kf_sv, kf_o, kf_ov,
-              kf_R, kf_t, n_kf, cpts, cok, spts, sok, T_pred):
+    def gather(kf_c, kf_cv, kf_s, kf_sv, kf_o, kf_ov,
+               kf_R, kf_t, n_kf, center):
         offset = jax.lax.axis_index(axis) * Ks
-        center = T_pred.t
         cm, cmv = _shard_local_map(
             kf_R, kf_t, kf_c, kf_cv, n_kf, center, offset, S,
             cfg.surrounding_keyframe_search_radius, cfg.leaf_map_corner,
@@ -144,7 +146,28 @@ def _sharded_solver(cfg: PipelineConfig, mesh: Mesh, axis: str):
             kf_R, kf_t, so_blocks, so_valid, n_kf, center, offset, S,
             cfg.surrounding_keyframe_search_radius, cfg.leaf_map_surf,
             ms_cap)
+        return cm, cmv, sm, smv
 
+    return gather
+
+
+@lru_cache(maxsize=16)
+def _sharded_solver(cfg: PipelineConfig, mesh: Mesh, axis: str):
+    """Build (once per (cfg, mesh)) the jitted shard_map solve program.
+
+    Consumes the (possibly cached) per-shard submaps from _sharded_gather."""
+    pool_spec = P(axis)
+    rep = P()
+
+    @jax.jit
+    @f32_matmuls
+    @partial(shard_map, mesh=mesh,
+             in_specs=(pool_spec, pool_spec, pool_spec, pool_spec,
+                       rep, rep, rep, rep,
+                       Pose(rep, rep)),
+             out_specs=(Pose(rep, rep), rep),
+             check_vma=False)
+    def solve(cm, cmv, sm, smv, cpts, cok, spts, sok, T_pred):
         n_map_c = jax.lax.psum(jnp.sum(cmv), axis)
         n_map_s = jax.lax.psum(jnp.sum(smv), axis)
         map_gate = (n_map_c > 10) & (n_map_s > 100)
@@ -260,33 +283,40 @@ def backend_step_sharded(
     cfg: PipelineConfig,
     mesh: Mesh,
     axis: str = "map",
+    map_cache=None,
 ):
     """One full sharded mapping solve.  corner/surf are the downsampled
     current-scan clouds (the front end's voxel output).  Returns
-    (new_state, mapped_pose, n_constraints) with the same insertion/latch
-    semantics as models/mapping.mapping_step, with two documented
-    deviations:
+    (new_state, mapped_pose, n_constraints, map_cache) with the same
+    insertion/latch semantics as models/mapping.mapping_step.
 
-      * no cached-map fast path — each solve re-gathers its shard (the
-        gather/transform is split across the mesh, and the cache would
-        have to be invalidated collectively);
-      * no inline pool compaction — once n_kf reaches max_keyframes the
-        insert gate saturates and the map freezes (the single-device path
-        auto-compacts at K-1).  For long sharded runs the host should
-        periodically call models.mapping.compact_keyframes on the state
-        at its own cadence; it is pure jnp, so jit with the sharded state
-        simply lets XLA insert the resharding collectives.
+    map_cache: pass the cache returned by a previous call to SKIP the
+    local-map re-gather (the single-chip cached-map fast path,
+    models/mapping.py map_refresh_every); pass None to re-gather.  The
+    cache is a tuple of per-shard submap arrays sharded along the point
+    axis, so reusing it moves no data between devices.  The refresh /
+    staleness policy lives in the caller (see ShardedBackend, which also
+    runs the pool compaction the jitted step cannot do collectively).
 
     Compiled programs are cached per (cfg, mesh, axis)."""
     K = cfg.max_keyframes
     T_pred = predict_pose(state, odom_pose)
 
+    if map_cache is None:
+        map_cache = _sharded_gather(cfg, mesh, axis)(
+            state.kf_corner, state.kf_corner_valid,
+            state.kf_surf, state.kf_surf_valid,
+            state.kf_outlier, state.kf_outlier_valid,
+            state.kf_R, state.kf_t, state.n_kf, T_pred.t)
+        # XLA:CPU's in-process communicator can deadlock when a
+        # collective program is enqueued behind another multi-device
+        # program still in flight (the virtual-mesh test rig); one sync
+        # on the (infrequent) refresh path sidesteps it.  On TPU this is
+        # a single dispatch fence every map_refresh_every solves.
+        jax.block_until_ready(map_cache)
+
     new_T, n_keep = _sharded_solver(cfg, mesh, axis)(
-        state.kf_corner, state.kf_corner_valid,
-        state.kf_surf, state.kf_surf_valid,
-        state.kf_outlier, state.kf_outlier_valid,
-        state.kf_R, state.kf_t, state.n_kf,
-        corner_pts, corner_ok, surf_pts, surf_ok, T_pred)
+        *map_cache, corner_pts, corner_ok, surf_pts, surf_ok, T_pred)
 
     # ---- keyframe insertion (replicated poses; sharded block writes) ----
     has_kf = state.n_kf > 0
@@ -333,4 +363,68 @@ def backend_step_sharded(
         bef_mapped=odom_pose,
         aft_mapped=new_T,
     )
-    return new_state, new_T, n_keep
+    return new_state, new_T, n_keep, map_cache
+
+
+class ShardedBackend:
+    """Host driver for the sharded back-end: owns the mapping state, the
+    per-shard local-map cache, and the pool-compaction cadence — the same
+    deterministic policies as the single-device mapping_step
+    (models/mapping.py), expressed host-side because a shard_map program
+    cannot re-shard the pool (compaction) or invalidate a cache
+    collectively.
+
+      * refresh the cached per-shard submaps every cfg.map_refresh_every
+        solves, or when mark_stale() was called (loop closure / external
+        pose rewrite);
+      * compact the keyframe pool when n_kf reaches capacity - 1
+        (checked every `compact_check_every` solves — one n_kf host pull
+        per check, not per scan).
+
+    The keyframe pool arrays are device_put with the pool sharding at
+    construction, so every step's shard_map consumes them in place."""
+
+    def __init__(self, state: MappingState, cfg: PipelineConfig, mesh: Mesh,
+                 axis: str = "map", compact_check_every: int = 32):
+        from jax.sharding import NamedSharding
+
+        self.cfg = cfg
+        self.mesh = mesh
+        self.axis = axis
+        self.compact_check_every = compact_check_every
+        pool = NamedSharding(mesh, P(axis))
+        rep = NamedSharding(mesh, P())
+        pool_fields = {"kf_corner", "kf_corner_valid", "kf_surf",
+                       "kf_surf_valid", "kf_outlier", "kf_outlier_valid"}
+        self.state = state._replace(**{
+            f: jax.device_put(getattr(state, f),
+                              pool if f in pool_fields else rep)
+            for f in state._fields})
+        self.map_cache = None
+        self._age = 0
+        self._steps = 0
+
+    def mark_stale(self) -> None:
+        """Invalidate the cached local map (keyframe poses rewritten)."""
+        self.map_cache = None
+
+    def step(self, corner_pts, corner_ok, surf_pts, surf_ok,
+             odom_pose: Pose, time):
+        """One mapping solve; returns (mapped_pose, n_constraints)."""
+        cfg = self.cfg
+        if self._steps % self.compact_check_every == 0:
+            if int(self.state.n_kf) >= cfg.max_keyframes - 1:
+                from lego_loam_tpu.models.mapping import compact_keyframes
+
+                self.state = compact_keyframes(self.state, cfg)
+                self.map_cache = None
+        if self._age >= cfg.map_refresh_every - 1:
+            self.map_cache = None
+        self._age = 0 if self.map_cache is None else self._age + 1
+        self._steps += 1
+
+        self.state, T, n_keep, self.map_cache = backend_step_sharded(
+            self.state, corner_pts, corner_ok, surf_pts, surf_ok,
+            odom_pose, time, cfg, self.mesh, self.axis,
+            map_cache=self.map_cache)
+        return T, n_keep

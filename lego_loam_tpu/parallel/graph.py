@@ -174,7 +174,18 @@ def _gn_step_from_shard(edges: EdgeList, R, t, li, lj, pose_active,
     # inactive poses get an identity block so the factorization stays SPD
     D = D + jnp.where(pose_active, 0.0, 1.0)[:, None, None] * jnp.eye(6)
     x = direct_gn_delta(D, U, A, B_loop, li, lj, r_loop, b, cfg.pg_damping)
-    return _apply_delta(R, t, x)
+    R2, t2 = _apply_delta(R, t, x)
+
+    # cost guard (same as models/posegraph.solve_pose_graph): accept the
+    # float32-inexact step only if it reduces the true graph cost; the
+    # per-shard partial costs combine with one extra psum
+    def cost(R_, t_):
+        r = edge_residuals(edges, R_, t_)
+        c = jnp.sum(r * r)
+        return jax.lax.psum(c, axis) if axis else c
+
+    ok = cost(R2, t2) < cost(R, t)
+    return jnp.where(ok, R2, R), jnp.where(ok, t2, t)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -103,16 +103,40 @@ def hat(w):
 
 
 def so3_exp(w):
-    """Rodrigues: exp of (..., 3) axis-angle -> (..., 3, 3) rotation."""
+    """Rodrigues: exp of (..., 3) axis-angle -> (..., 3, 3) rotation.
+
+    The (1 - cos theta)/theta^2 coefficient is computed via the half-angle
+    identity 0.5*(sin(t/2)/(t/2))^2: the direct form cancels
+    catastrophically in float32 for the small inter-scan rotations this
+    code lives on (relative error up to ~6% at theta=1e-3, which made
+    every accumulated pose rotation drift off SO(3) — det grew ~1e-4 per
+    compose — and wrecked long-trajectory scan-to-map registration).
+    """
     theta2 = jnp.sum(w * w, -1)
     theta = jnp.sqrt(theta2 + _EPS)
     # Taylor-safe coefficients.
     a = jnp.where(theta2 > _EPS, jnp.sin(theta) / theta, 1.0 - theta2 / 6.0)
-    b = jnp.where(theta2 > _EPS, (1.0 - jnp.cos(theta)) / (theta2 + _EPS),
-                  0.5 - theta2 / 24.0)
+    half = 0.5 * theta
+    sinc_h = jnp.where(theta2 > _EPS, jnp.sin(half) / half,
+                       1.0 - theta2 / 24.0)
+    b = 0.5 * sinc_h * sinc_h
     W = hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + a[..., None, None] * W + b[..., None, None] * (W @ W)
+
+
+def project_so3(R):
+    """One Newton step of the polar decomposition: R (3I - R^T R)/2.
+
+    Removes first-order orthonormality error (float32 product roundoff
+    accumulating over thousands of composes) at the cost of two 3x3
+    matmuls; exact rotations are fixed points.  Applied at low-rate
+    accumulation points (keyframe insertion, odometry pose integration),
+    not inside solver iterations.
+    """
+    RtR = jnp.swapaxes(R, -1, -2) @ R
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
+    return R @ (1.5 * eye - 0.5 * RtR)
 
 
 def so3_log(R):

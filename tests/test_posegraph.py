@@ -152,8 +152,17 @@ def test_loop_closure_step_end_to_end():
         ks[i], ksv[i] = np.asarray(sp), np.asarray(sok)
         times[i] = 40.0 * i / n  # last frames are >30s after the first
 
+    # chain measurements consistent with the stored (drifted) estimates,
+    # as mapping_step records them at insertion
+    meas_R = np.asarray(state.kf_meas_R).copy()
+    meas_t = np.asarray(state.kf_meas_t).copy()
+    for i in range(1, n):
+        meas_R[i] = kf_R[i - 1].T @ kf_R[i]
+        meas_t[i] = kf_R[i - 1].T @ (kf_t[i] - kf_t[i - 1])
+
     state = state._replace(
         kf_R=jnp.asarray(kf_R), kf_t=jnp.asarray(kf_t),
+        kf_meas_R=jnp.asarray(meas_R), kf_meas_t=jnp.asarray(meas_t),
         kf_corner=jnp.asarray(kc), kf_corner_valid=jnp.asarray(kcv),
         kf_surf=jnp.asarray(ks), kf_surf_valid=jnp.asarray(ksv),
         kf_time=jnp.asarray(times), n_kf=jnp.int32(n),
@@ -162,7 +171,11 @@ def test_loop_closure_step_end_to_end():
     # loop_closure_step donates the state buffers — snapshot before the call
     true_last = ts[-1] - np.array([0.0, 0.0, 1.6])
     err_before = np.linalg.norm(kf_t[n - 1] - true_last)
-    state2, res = lc.loop_closure_step(state, jnp.float32(40.0), CFG)
+    # the injected drift (0.036 m per 0.4 m hop) is far outside the default
+    # odometry sigma; declare chain noise consistent with it so the
+    # solve's correction fraction is meaningful
+    cfg = CFG.replace(pg_trans_sigma=0.05, pg_rot_sigma=0.005)
+    state2, res = lc.loop_closure_step(state, jnp.float32(40.0), cfg)
     assert bool(res.closed), f"fitness={float(res.fitness):.3f}"
     assert float(res.fitness) < CFG.history_keyframe_fitness_score
     # latest pose pulled back toward its true position (0, 0.05, 0) wrt kf0
