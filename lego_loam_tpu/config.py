@@ -112,6 +112,23 @@ class PipelineConfig:
 
     # --- features (utility.h:120-125, featureAssociation.cpp:621-784) ---
     edge_threshold: float = 0.1
+    edge_prominence: float = 50.0            # corner curvature must also
+                                             # clear this multiple of the
+                                             # per-ring median curvature (the
+                                             # range-noise floor): keeps
+                                             # sensor noise on smooth
+                                             # surfaces from saturating the
+                                             # per-sector corner quota.  The
+                                             # multiple must clear the MAX of
+                                             # ~300 chi-square(1) draws per
+                                             # sector (the picks are argmax):
+                                             # 50 x median puts that tail at
+                                             # ~6e-4 expected survivors while
+                                             # real edges sit 500-10000x the
+                                             # floor (new vs reference — see
+                                             # ops/features.label_features;
+                                             # 0 = reference-faithful
+                                             # absolute threshold only)
     surf_threshold: float = 0.1
     sections_total: int = 6
     edge_feature_num: int = 2                # sharp corners per sector
@@ -181,6 +198,28 @@ class PipelineConfig:
     odom_max_step_rot_deg: float = 10.0      # trust-region clip per GN step
     odom_max_step_trans: float = 1.0
     odom_degen_eig_thresh: float = 10.0      # featureAssociation.cpp:1338
+    odom_surf_fit: str = "knn"               # odometry surf residual: "knn"
+                                             # = 5-NN least-squares plane w/
+                                             # the scan-to-map quality gates
+                                             # (immune to the 3-point plane's
+                                             # short-baseline tilt from
+                                             # ground-label noise — see
+                                             # models/odometry._assoc_surf_knn);
+                                             # "tri" = reference-faithful
+                                             # 3-point plane
+                                             # (featureAssociation.cpp:
+                                             # 1163-1226)
+    odom_class_gate: bool = True             # surf association may only pair
+                                             # points with the SAME ground
+                                             # label (new vs reference: its
+                                             # featureAssociation discards
+                                             # the label and mixed
+                                             # ground/wall-base 3-point
+                                             # planes give a systematic +z
+                                             # odometry bias in corridors —
+                                             # see models/odometry._assoc_surf
+                                             # and examples/diag_corridor2.py;
+                                             # False = reference-faithful)
     odom_delta_rot_deg: float = 0.1          # convergence thresholds
     odom_delta_trans_cm: float = 0.1
     odom_min_constraints: int = 10

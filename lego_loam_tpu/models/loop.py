@@ -57,16 +57,13 @@ def _keyframe_cloud(state: MappingState, idx, cfg: PipelineConfig,
     return pts, val
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
-@f32_matmuls
-def loop_closure_step(state: MappingState, time: jnp.ndarray,
-                      cfg: PipelineConfig):
-    """Detect + ICP + graph update.  Returns (state, LoopResult)."""
-    K = cfg.max_keyframes
+def _detect(state: MappingState, time, cfg: PipelineConfig):
+    """Loop-candidate detection from the (replicated) pose-level arrays:
+    nearest alive keyframe within the search radius whose stamp is older
+    than the loop time gap (mapOptmization.cpp:815-843)."""
     latest = jnp.maximum(state.n_kf - 1, 0)
     cur_pos = state.kf_t[latest]
-
-    idx = jnp.arange(K)
+    idx = jnp.arange(cfg.max_keyframes)
     alive = idx < state.n_kf
     d2 = jnp.sum((state.kf_t - cur_pos) ** 2, axis=1)
     old_enough = jnp.abs(state.kf_time - time) > cfg.loop_min_time_gap
@@ -77,24 +74,38 @@ def loop_closure_step(state: MappingState, time: jnp.ndarray,
     # callers can gate purely on frame counters with no n_kf host pull
     found = (jnp.any(qualify) & (state.n_loops < cfg.max_loop_edges)
              & (state.n_kf > 2))
+    return latest, cand, found
+
+
+def _history_selection(state: MappingState, cand, time, cfg: PipelineConfig):
+    """Indices + inclusion mask of the candidate's +-H keyframe history
+    submap.  Keyframes from the CURRENT visit must not enter it: on short
+    trajectories cand+H can reach the newest keyframes, and ICP would then
+    match the source cloud against itself and report a perfect
+    (self-)alignment.  (The reference has the same inclusion hazard,
+    mapOptmization.cpp:845-852, it just never trips it on its 20k-keyframe
+    datasets.)  "Current visit" = within half the loop time gap of now."""
+    H = cfg.history_keyframe_search_num
+    offs = jnp.arange(-H, H + 1)
+    sel = jnp.clip(cand + offs, 0, cfg.max_keyframes - 1)
+    sel_ok = (cand + offs >= 0) & (cand + offs < state.n_kf)
+    sel_ok = sel_ok & (jnp.abs(state.kf_time[sel] - time)
+                       > 0.5 * cfg.loop_min_time_gap)
+    return sel, sel_ok
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+@f32_matmuls
+def loop_closure_step(state: MappingState, time: jnp.ndarray,
+                      cfg: PipelineConfig):
+    """Detect + ICP + graph update.  Returns (state, LoopResult)."""
+    latest, cand, found = _detect(state, time, cfg)
 
     # current keyframe cloud at its (possibly wrong) map pose
     src, src_val = _keyframe_cloud(state, latest, cfg)
 
     # history submap: candidate +- history_keyframe_search_num keyframes
-    H = cfg.history_keyframe_search_num
-    offs = jnp.arange(-H, H + 1)
-    sel = jnp.clip(cand + offs, 0, K - 1)
-    sel_ok = (cand + offs >= 0) & (cand + offs < state.n_kf)
-    # keyframes from the CURRENT visit must not enter the history submap:
-    # on short trajectories cand+H can reach the newest keyframes, and ICP
-    # would then match the source cloud against itself and report a
-    # perfect (self-)alignment.  (The reference has the same inclusion
-    # hazard, mapOptmization.cpp:845-852, it just never trips it on its
-    # 20k-keyframe datasets.)  "Current visit" = within half the loop time
-    # gap of now.
-    sel_ok = sel_ok & (jnp.abs(state.kf_time[sel] - time)
-                       > 0.5 * cfg.loop_min_time_gap)
+    sel, sel_ok = _history_selection(state, cand, time, cfg)
 
     def gather(i, ok):
         pts, val = _keyframe_cloud(state, i, cfg)
@@ -105,6 +116,20 @@ def loop_closure_step(state: MappingState, time: jnp.ndarray,
     hist_val = hist_val.reshape(-1)
     hist_pts, hist_val = voxel_downsample(
         hist_pts, hist_val, cfg.leaf_history, cfg.max_map_surf)
+    return _loop_core(state, src, src_val, hist_pts, hist_val,
+                      latest, cand, found, time, cfg)
+
+
+def _loop_core(state: MappingState, src, src_val, hist_pts, hist_val,
+               latest, cand, found, time, cfg: PipelineConfig):
+    """ICP + acceptance gates + edge insert + pose-graph solve, given the
+    already-gathered source cloud (map frame) and voxel-downsampled history
+    submap.  Touches only pose-level (replicated) state fields, so the
+    sharded back-end reuses it verbatim after a collective cloud gather
+    (parallel/backend_sharded.loop_closure_step_sharded)."""
+    K = cfg.max_keyframes
+    idx = jnp.arange(K)
+    alive = idx < state.n_kf
 
     T_icp, fitness = icp_align(
         src, src_val, hist_pts, hist_val, Pose.identity(),

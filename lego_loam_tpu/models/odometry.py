@@ -104,18 +104,87 @@ def _assoc_corner(rel: Pose, sharp: FeatureCloud, ref: FeatureCloud, cfg):
 
 def _assoc_surf(rel: Pose, flat: FeatureCloud, ref: FeatureCloud, cfg):
     """j1 = nearest; j2 = nearest in the same ring (j1 excluded); j3 =
-    nearest in an adjacent ring within +-2 (featureAssociation.cpp:1163-1226)."""
+    nearest in an adjacent ring within +-2 (featureAssociation.cpp:1163-1226).
+
+    With cfg.odom_class_gate (default), candidates must share the query's
+    ground label.  The reference drops the segmentation's ground label
+    before association, so for a ground query near a wall the adjacent-ring
+    j3 lands on the WALL BASE (the next ground ring is metres further out)
+    and the 3-point "plane" tilts up off the ground — a systematic +z bias
+    of ~2% of forward motion in corridor geometry (measured on exact
+    synthetic data, examples/diag_corridor2.py).  Ground-to-ground /
+    structure-to-structure association removes the mixed planes; set
+    odom_class_gate=False for the reference-faithful behaviour the NumPy
+    oracles expect."""
     q = warp_to_start(rel, flat.xyz, flat.s)
     d2 = sq_dist_matrix(q, ref.xyz, ref.valid)
-    i1, v1 = masked_argmin(d2)
+    same: jnp.ndarray | bool = True
+    if cfg.odom_class_gate and flat.ground is not None \
+            and ref.ground is not None:
+        same = ref.ground[None, :] == flat.ground[:, None]
+    i1, v1 = masked_argmin(d2, None if same is True else same)
     r1 = ref.ring[i1]
     dr = ref.ring[None, :] - r1[:, None]
     cols = jnp.arange(d2.shape[1])
-    i2, v2 = masked_argmin(d2, (dr == 0) & (cols[None, :] != i1[:, None]))
-    i3, v3 = masked_argmin(d2, (dr != 0) & (jnp.abs(dr) <= 2))
+    i2, v2 = masked_argmin(
+        d2, (dr == 0) & (cols[None, :] != i1[:, None]) & same)
+    i3, v3 = masked_argmin(d2, (dr != 0) & (jnp.abs(dr) <= 2) & same)
     thr = cfg.nearest_feature_search_sq_dist
     ok = flat.valid & (v1 < thr) & (v2 < thr) & (v3 < thr)
     return i1, i2, i3, ok
+
+
+def _assoc_surf_knn(rel: Pose, flat: FeatureCloud, ref: FeatureCloud, cfg):
+    """5-NN least-squares plane association for the odometry surf phase
+    (cfg.odom_surf_fit == "knn", the default).
+
+    The reference's 3-point plane (same-ring pair + adjacent-ring third,
+    featureAssociation.cpp:1163-1226) has a ~0.2 m baseline between its two
+    closest points, so centimetre-level label noise at structure bases
+    (pole/wall feet the ground filter marks as ground — the reference's
+    imageProjection.cpp:316-345 has the same ambiguity) tilts the plane by
+    DEGREES: measured on exact corridor data this injects a constant
+    -0.07 deg/scan pitch bias whose integral sends z off quadratically
+    (examples/diag_corridor2.py).  Fitting the plane to the 5 nearest
+    reference points with the scan-to-map quality gates (least-squares fit +
+    residual + spread rejection, models/mapping._fit_planes ==
+    mapOptmization.cpp:1183-1207) averages the label noise out and REJECTS
+    unfittable neighborhoods instead of feeding them to the solver.
+
+    The 5 points keep the reference's RING STRUCTURE (nearest + two
+    same-ring + two adjacent-ring): a plain 5-NN would draw all five from
+    one ring arc — nearly collinear, so the spread gate rejects it and the
+    (pitch, roll, tz) block starves."""
+    from lego_loam_tpu.models.mapping import _fit_planes
+
+    q = warp_to_start(rel, flat.xyz, flat.s)
+    d2 = sq_dist_matrix(q, ref.xyz, ref.valid)
+    if cfg.odom_class_gate and flat.ground is not None \
+            and ref.ground is not None:
+        same = ref.ground[None, :] == flat.ground[:, None]
+        d2 = jnp.where(same, d2, jnp.float32(1e30))
+    cols = jnp.arange(d2.shape[1])
+    i1, v1 = masked_argmin(d2)
+    r1 = ref.ring[i1]
+    dr = ref.ring[None, :] - r1[:, None]
+    same_ring = dr == 0
+    adj_ring = (dr != 0) & (jnp.abs(dr) <= 2)
+    not1 = cols[None, :] != i1[:, None]
+    i2, v2 = masked_argmin(d2, same_ring & not1)
+    i5, v5 = masked_argmin(d2, same_ring & not1
+                           & (cols[None, :] != i2[:, None]))
+    i3, v3 = masked_argmin(d2, adj_ring)
+    i4, v4 = masked_argmin(d2, adj_ring & (cols[None, :] != i3[:, None]))
+    thr = cfg.nearest_feature_search_sq_dist
+    # the reference's core triple must exist; the two extras fall back to
+    # duplicating their category's first pick (double-weighting it) so the
+    # fit always sees 5 finite rows
+    ok = flat.valid & (v1 < thr) & (v2 < thr) & (v3 < thr)
+    i4 = jnp.where(v4 < thr, i4, i3)
+    i5 = jnp.where(v5 < thr, i5, i2)
+    nn = ref.xyz[jnp.stack([i1, i2, i3, i4, i5], axis=1)]    # (Q, 5, 3)
+    pn, pd, ok = _fit_planes(nn, ok, cfg)
+    return pn, pd, ok
 
 
 # ------------------------------------------------------------- residuals
@@ -375,17 +444,25 @@ def odometry_step(
         pts = jnp.concatenate([flat.xyz, sharp.xyz], axis=0)
         ss = jnp.concatenate([flat.s, sharp.s], axis=0)
 
+        knn_surf = cfg.odom_surf_fit == "knn"
+
         def joint_assoc(rel):
-            return (_assoc_surf(rel, flat, ref_s, cfg),
-                    _assoc_corner(rel, sharp, ref_c, cfg))
+            sa = (_assoc_surf_knn(rel, flat, ref_s, cfg) if knn_surf
+                  else _assoc_surf(rel, flat, ref_s, cfg))
+            return (sa, _assoc_corner(rel, sharp, ref_c, cfg))
 
         def joint_resid(assoc):
-            (i1, i2, i3, oks), (j1, j2, okc) = assoc
+            sa, (j1, j2, okc) = assoc
 
             def resid_at(q):
                 qs, qc = q[:F], q[F:]
-                ds = _surf_distance(
-                    qs, ref_s.xyz[i1], ref_s.xyz[i2], ref_s.xyz[i3])
+                if knn_surf:
+                    pn, pd, oks = sa
+                    ds = jnp.sum(pn * qs, axis=-1) + pd
+                else:
+                    i1, i2, i3, oks = sa
+                    ds = _surf_distance(
+                        qs, ref_s.xyz[i1], ref_s.xyz[i2], ref_s.xyz[i3])
                 dc = _corner_distance(qc, ref_c.xyz[j1], ref_c.xyz[j2])
                 qn = jnp.concatenate(
                     [jnp.sqrt(jnp.sqrt(_safe_norm(qs))), jnp.ones_like(dc)])
@@ -408,15 +485,21 @@ def odometry_step(
                      joint_assoc, joint_resid, cfg, jac_mask=jac_mask)
     else:
         # ---- surf phase: (pitch, roll, tz)
+        knn_surf = cfg.odom_surf_fit == "knn"
+
         def surf_assoc(rel):
-            return _assoc_surf(rel, flat, ref_s, cfg)
+            return (_assoc_surf_knn(rel, flat, ref_s, cfg) if knn_surf
+                    else _assoc_surf(rel, flat, ref_s, cfg))
 
         def surf_resid(assoc):
-            i1, i2, i3, ok = assoc
-
             def resid_at(q):
-                d = _surf_distance(
-                    q, ref_s.xyz[i1], ref_s.xyz[i2], ref_s.xyz[i3])
+                if knn_surf:
+                    pn, pd, ok = assoc
+                    d = jnp.sum(pn * q, axis=-1) + pd
+                else:
+                    i1, i2, i3, ok = assoc
+                    d = _surf_distance(
+                        q, ref_s.xyz[i1], ref_s.xyz[i2], ref_s.xyz[i3])
                 qn = jnp.sqrt(jnp.sqrt(_safe_norm(q)))
                 return d, qn, ok
             return resid_at

@@ -132,7 +132,27 @@ def label_features(packed: SegmentedScan, cfg: PipelineConfig):
     reach_l, reach_r = _suppress_reach(packed.col, packed.count, cfg)
 
     base = packed.valid & curv_valid
-    corner_base = base & (curv > cfg.edge_threshold) & ~packed.ground
+    corner_thresh = jnp.float32(cfg.edge_threshold)
+    if cfg.edge_prominence > 0.0:
+        # Robust prominence gate (new vs reference): range noise sigma puts
+        # a chi-square floor of ~(110 sigma^2) under the 11-tap curvature,
+        # and at sigma = 2 cm that floor CLEARS the reference's absolute
+        # edgeThreshold=0.1 (utility.h:122) — every sector of a smooth wall
+        # then saturates its corner quota with speckle, drowning the real
+        # geometric anchors (measured: examples/diag_corridor.py, n_sharp
+        # pegged at cap with noise vs ~half without).  The per-ring MEDIAN
+        # curvature estimates that noise floor robustly (real edges are
+        # sparse); a corner must clear edge_prominence x floor as well as
+        # the absolute threshold.  Noise-free data is unaffected (floor ~0).
+        inf_fill = jnp.where(base, curv, jnp.inf)
+        sorted_c = jnp.sort(inf_fill, axis=1)
+        n_ok = jnp.sum(base, axis=1)
+        med = jnp.take_along_axis(
+            sorted_c, (jnp.maximum(n_ok - 1, 0) // 2)[:, None], axis=1)[:, 0]
+        med = jnp.where(jnp.isfinite(med), med, 0.0)
+        corner_thresh = jnp.maximum(
+            corner_thresh, cfg.edge_prominence * med)[:, None]
+    corner_base = base & (curv > corner_thresh) & ~packed.ground
     surf_base = base & (curv < cfg.surf_threshold) & packed.ground
 
     S = cfg.sections_total
@@ -241,6 +261,7 @@ def extract_features(
             ring=jnp.where(ok, ring_grid.reshape(-1)[order], 0),
             s=jnp.where(ok, packed.row_frac.reshape(-1)[order], 0.0),
             valid=ok,
+            ground=jnp.where(ok, packed.ground.reshape(-1)[order], False),
         )
 
     sharp = compact(labels == 2, cfg.max_sharp)
@@ -256,17 +277,26 @@ def extract_features(
 
     cap_per_ring = cfg.max_less_flat // R
 
-    def ring_ds(xyz, mask, s):
+    def ring_ds(xyz, mask, s, gnd):
+        aux = jnp.stack([s, gnd.astype(jnp.float32)], axis=1)
+        # cls=gnd: a leaf straddling the ground/structure boundary splits
+        # instead of emitting a mixed centroid lying off both surfaces —
+        # those phantom points corrupted the odometry surf planes
+        # systematically at wall bases (examples/diag_corridor2.py)
         return voxel_downsample(
-            xyz, mask, cfg.leaf_less_flat, cap_per_ring, aux=s[:, None]
+            xyz, mask, cfg.leaf_less_flat, cap_per_ring, aux=aux, cls=gnd
         )
 
-    lf_xyz, lf_s, lf_valid = jax.vmap(ring_ds)(packed.xyz, lf_mask, packed.row_frac)
+    lf_xyz, lf_aux, lf_valid = jax.vmap(ring_ds)(
+        packed.xyz, lf_mask, packed.row_frac, packed.ground)
     less_flat = FeatureCloud(
         xyz=lf_xyz.reshape(-1, 3),
         ring=jnp.broadcast_to(rows[:, None], (R, cap_per_ring)).reshape(-1),
-        s=lf_s.reshape(-1),
+        s=lf_aux[..., 0].reshape(-1),
         valid=lf_valid.reshape(-1),
+        # voxel-mean of the bool label; a voxel straddling the ground/wall
+        # boundary counts as ground only if ground points dominate it
+        ground=lf_aux[..., 1].reshape(-1) > 0.5,
     )
 
     outlier = FeatureCloud(
@@ -274,6 +304,7 @@ def extract_features(
         ring=jnp.zeros((packed.outlier_xyz.shape[0],), jnp.int32),
         s=outlier_s,
         valid=packed.outlier_valid,
+        ground=jnp.zeros((packed.outlier_xyz.shape[0],), bool),
     )
 
     return ScanFeatures(

@@ -34,16 +34,25 @@ def _fmix32(h: jnp.ndarray) -> jnp.ndarray:
     return h
 
 
-def _voxel_keys(xyz: jnp.ndarray, valid: jnp.ndarray, leaf: float):
+def _voxel_keys(xyz: jnp.ndarray, valid: jnp.ndarray, leaf: float,
+                cls: jnp.ndarray | None = None):
     """Sort keys for floor(xyz / leaf): (hash, exact-id lo, exact-id hi).
 
     The hash orders voxels pseudo-randomly (drop order under out_cap); the
     two exact keys pack 20 bits per axis, injective for |q| < 2^19 leaves
     (~100 km extent at 0.2 m) — voxel identity never collides.  Invalid rows
     sort last (all keys maxed).
+
+    `cls` (optional bool): points with different class never share a voxel
+    (the class offsets the quantized z far outside the scene extent, so a
+    leaf straddling a class boundary — e.g. the ground/wall-base transition
+    — splits instead of producing a centroid lying off BOTH surfaces).
+    Injectivity then needs |q_z| < 2^17 (~26 km at 0.2 m).
     """
     big = jnp.int32(2**30)
     q = jnp.floor(xyz / leaf).astype(jnp.int32)
+    if cls is not None:
+        q = q.at[:, 2].add(jnp.where(cls, jnp.int32(1 << 18), jnp.int32(0)))
     qu = q.astype(jnp.uint32)
     mixed = ((qu[:, 0] * jnp.uint32(0x9E3779B1) + qu[:, 1])
              * jnp.uint32(0x85EBCA77) + qu[:, 2])
@@ -64,6 +73,7 @@ def voxel_downsample(
     leaf: float,
     out_cap: int,
     aux: jnp.ndarray | None = None,
+    cls: jnp.ndarray | None = None,
 ):
     """Centroid-per-voxel downsample of a padded point set.
 
@@ -76,12 +86,14 @@ def voxel_downsample(
         voxel id, the dropped excess is pseudo-random across space rather
         than a spatially coherent slab.
       aux: optional (N, K) extra per-point features, averaged per voxel.
+      cls: optional (N,) bool class; differing-class points never merge
+        into one centroid (see _voxel_keys).
 
     Returns (xyz_out (out_cap, 3), valid_out (out_cap,)) or
     (xyz_out, aux_out, valid_out) when aux is given.
     """
     n = xyz.shape[0]
-    h, k1, k2 = _voxel_keys(xyz, valid, leaf)
+    h, k1, k2 = _voxel_keys(xyz, valid, leaf, cls)
 
     ops = [h, k1, k2, xyz[:, 0], xyz[:, 1], xyz[:, 2],
            valid.astype(jnp.float32)]

@@ -257,6 +257,80 @@ def _sharded_solver(cfg: PipelineConfig, mesh: Mesh, axis: str):
 
 
 @lru_cache(maxsize=16)
+def _sharded_loop_step(cfg: PipelineConfig, mesh: Mesh, axis: str):
+    """Build (once per (cfg, mesh)) the jitted sharded loop-closure step —
+    the multi-device configuration of models/loop.loop_closure_step (the
+    reference's 1 Hz loop thread, mapOptmization.cpp:802-954).
+
+    Design: detection, ICP, gates, and the pose-graph solve all run on the
+    REPLICATED pose-level arrays (identical on every device, ~100 KB), so
+    the only collective work is gathering the two clouds out of the sharded
+    keyframe pool: each device contributes the (masked, map-frame) blocks of
+    the keyframes it owns and a psum assembles the replicated source cloud +
+    history submap (~1.6 MB over ICI — map points still never move in bulk).
+    Downstream of the gather this calls the same _loop_core as the
+    single-device path, so accepted edges, gate decisions, and corrected
+    poses are bitwise identical."""
+    from lego_loam_tpu.models import loop as lp
+    from lego_loam_tpu.ops.voxel import voxel_downsample as vds
+
+    n_dev = mesh.shape[axis]
+    K = cfg.max_keyframes
+    assert K % n_dev == 0, "max_keyframes must divide the mesh axis"
+    Ks = K // n_dev
+    pool_spec = P(axis)
+    rep = P()
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(pool_spec, pool_spec, pool_spec, pool_spec,
+                       rep, rep, rep, rep, rep),
+             out_specs=(rep, rep, rep, rep),
+             check_vma=False)
+    def gather(kf_c, kf_cv, kf_s, kf_sv, kf_R, kf_t, latest, sel, sel_ok):
+        offset = jax.lax.axis_index(axis) * Ks
+
+        def block(i, ok):
+            li = jnp.clip(i - offset, 0, Ks - 1)
+            own = (i >= offset) & (i < offset + Ks) & ok
+            pts = jnp.concatenate([kf_c[li], kf_s[li]], axis=0)
+            val = jnp.concatenate([kf_cv[li], kf_sv[li]], axis=0) & own
+            pts = pts @ kf_R[i].T + kf_t[i]   # map frame (replicated pose)
+            return jnp.where(val[:, None], pts, 0.0), val
+
+        src, src_val = block(latest, jnp.bool_(True))
+        hp, hv = jax.vmap(block)(sel, sel_ok)
+        # each row is owned by exactly one shard -> psum selects the owner
+        src = jax.lax.psum(src, axis)
+        src_val = jax.lax.psum(src_val.astype(jnp.int32), axis) > 0
+        hp = jax.lax.psum(hp, axis)
+        hv = jax.lax.psum(hv.astype(jnp.int32), axis) > 0
+        return src, src_val, hp, hv
+
+    @jax.jit
+    @f32_matmuls
+    def step(state: MappingState, time):
+        latest, cand, found = lp._detect(state, time, cfg)
+        sel, sel_ok = lp._history_selection(state, cand, time, cfg)
+        src, src_val, hp, hv = gather(
+            state.kf_corner, state.kf_corner_valid,
+            state.kf_surf, state.kf_surf_valid,
+            state.kf_R, state.kf_t, latest, sel, sel_ok)
+        hp, hv = vds(hp.reshape(-1, 3), hv.reshape(-1),
+                     cfg.leaf_history, cfg.max_map_surf)
+        return lp._loop_core(state, src, src_val, hp, hv,
+                             latest, cand, found, time, cfg)
+
+    return step
+
+
+def loop_closure_step_sharded(state: MappingState, time, cfg: PipelineConfig,
+                              mesh: Mesh, axis: str = "map"):
+    """Sharded-pool loop-closure check; same contract as
+    models/loop.loop_closure_step.  Returns (new_state, LoopResult)."""
+    return _sharded_loop_step(cfg, mesh, axis)(state, jnp.float32(time))
+
+
+@lru_cache(maxsize=16)
 def _sharded_inserter(cfg: PipelineConfig, mesh: Mesh, axis: str):
     n_dev = mesh.shape[axis]
     Ks = cfg.max_keyframes // n_dev
@@ -407,6 +481,18 @@ class ShardedBackend:
     def mark_stale(self) -> None:
         """Invalidate the cached local map (keyframe poses rewritten)."""
         self.map_cache = None
+
+    def loop_step(self, time):
+        """One loop-closure check on the sharded pool (the reference's 1 Hz
+        loop-thread analog; cadence decided by the caller).  Pulls the
+        accept flag — one host sync per CHECK, not per scan — because an
+        accepted closure rewrites keyframe poses and the cached per-shard
+        submaps must be re-gathered."""
+        self.state, res = loop_closure_step_sharded(
+            self.state, time, self.cfg, self.mesh, self.axis)
+        if bool(res.closed):
+            self.map_cache = None
+        return res
 
     def step(self, corner_pts, corner_ok, surf_pts, surf_ok,
              odom_pose: Pose, time):

@@ -54,12 +54,21 @@ class SegmentedScan(NamedTuple):
 
 
 class FeatureCloud(NamedTuple):
-    """One padded feature set: points + per-point ring id + sweep-time frac."""
+    """One padded feature set: points + per-point ring id + sweep-time frac.
+
+    `ground` carries the segmentation's ground label through to odometry:
+    the class-consistent surf association (models/odometry._assoc_surf)
+    needs it to keep ground queries from building planes out of wall-base
+    points — a systematic z-bias the reference shares (its featureAssociation
+    drops the label the ground filter computed, imageProjection.cpp:316-345;
+    keeping it is the LeGO-natural fix).  None = label unavailable (gate
+    disabled for that cloud)."""
 
     xyz: jnp.ndarray          # (N, 3)
     ring: jnp.ndarray         # (N,) int32
     s: jnp.ndarray            # (N,) float32 relative sweep time in [0, 1]
     valid: jnp.ndarray        # (N,) bool
+    ground: jnp.ndarray | None = None  # (N,) bool, or None
 
 
 class ScanFeatures(NamedTuple):
@@ -78,4 +87,5 @@ def empty_feature_cloud(capacity: int) -> FeatureCloud:
         ring=jnp.zeros((capacity,), jnp.int32),
         s=jnp.zeros((capacity,), jnp.float32),
         valid=jnp.zeros((capacity,), bool),
+        ground=jnp.zeros((capacity,), bool),
     )

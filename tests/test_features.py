@@ -19,8 +19,9 @@ from lego_loam_tpu.ops.voxel import voxel_downsample
 
 from tests import oracle_features as ofeat
 
-# the oracle mirrors the reference's sequential sector ordering
-CFG = config_for("vlp16", sector_parallel=False)
+# the oracle mirrors the reference's sequential sector ordering and its
+# absolute edge threshold (no prominence gate)
+CFG = config_for("vlp16", sector_parallel=False, edge_prominence=0.0)
 
 
 @pytest.fixture(scope="module")

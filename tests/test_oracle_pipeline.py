@@ -28,8 +28,11 @@ CFG = config_for(
     max_scan_corner_ds=512, max_scan_surf_ds=2048, nn_query_tile=512,
     max_loop_edges=8, pg_gn_iters=4,
     # the oracle pins the reference-faithful paths the per-kernel oracles
-    # use: exact NN and sequential sector picks
-    nn_exact=True, sector_parallel=False,
+    # use: exact NN, sequential sector picks, and label-free surf
+    # association (the reference drops the ground label before associating;
+    # the engine's default class gate is a deliberate deviation)
+    nn_exact=True, sector_parallel=False, odom_class_gate=False,
+    edge_prominence=0.0, odom_surf_fit="tri",
 )
 
 
